@@ -1,0 +1,96 @@
+"""Dataclass configs for the TPU-native KGWAS framework.
+
+The reference passes kwargs with defaults everywhere (reference kgwas/kgwas.py:52,85);
+we centralize them in serializable dataclasses so checkpoints carry a complete,
+reproducible description of the run (config.json next to weights).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters (mirrors reference KGWAS.initialize_model kwargs,
+    reference kgwas/kgwas.py:52)."""
+
+    gnn_num_layers: int = 2
+    gnn_hidden_dim: int = 128
+    gnn_backbone: str = "GAT"  # GAT | SAGE | GCN | SGC
+    gnn_aggr: str = "sum"      # cross-relation aggregation: sum | mean | max | min
+    gat_num_head: int = 1
+    no_relu: bool = False
+    # GAT extras mirrored from reference kgwas/conv.py:36-68
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    sigmoid_gat: bool = False
+    temperature: float = 1.0
+    out_channels: int = 1
+    # TPU-specific knobs (new; not in reference)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"   # set "bfloat16" for MXU speed mode
+    matmul_precision: str = "highest"  # "highest" for parity; "default" lets
+                                       # the TPU MXU use fast bf16 passes
+    remat: bool = False              # jax.checkpoint each conv layer
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (mirrors reference KGWAS.train kwargs,
+    reference kgwas/kgwas.py:85-87)."""
+
+    batch_size: int = 512
+    lr: float = 1e-4
+    weight_decay: float = 5e-4   # torch-Adam coupled L2 semantics (not AdamW)
+    epoch: int = 10
+    save_best_model: bool = True
+    shuffle: bool = False        # reference NeighborLoader defaults to shuffle=False
+    eval_batch_size: int = 512
+    # TPU-specific
+    full_batch: bool = False     # one optimizer step per epoch over all train SNPs
+    data_parallel_devices: int = 1
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map distributed runs (new; the
+    reference has no distributed runtime — SURVEY.md section 2.3)."""
+
+    data_axis: int = 1    # node/edge partition axis size
+    model_axis: int = 1   # feature-dim (TP) axis size for giant input embeddings
+    axis_names: tuple = ("data", "model")
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+
+def save_config(path: str, model_cfg: ModelConfig, extra: Optional[dict] = None):
+    payload = {"model": model_cfg.to_dict()}
+    if extra:
+        payload.update(extra)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+
+
+def load_config(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,77 @@
+"""Jitted training/eval step builders.
+
+The reference's hot loop (reference kgwas/kgwas.py:129-155) iterates
+CPU-sampled subgraph minibatches; here a step is ONE full-graph
+forward+backward with the loss masked to the step's seed batch — identical
+math (full-fanout sampling == full-graph restriction; see
+tests/test_model.py::test_full_graph_equals_subgraph_seed_prediction) with
+every edge computed exactly once per step on the MXU, and the per-batch
+Python dict lookups of LDSC weights (reference kgwas.py:142-143) replaced by
+a precomputed device array gather.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..models.hetero_gnn import apply_hetero_gnn
+from .optim import torch_adam
+
+
+def make_train_step(
+    cfg: ModelConfig, meta: dict, optimizer
+) -> Callable:
+    """Returns jitted (params, opt_state, arrays, batch_idx, y_node, w_node)
+    -> (params, opt_state, loss)."""
+
+    def loss_fn(params, arrays, batch_idx, y_node, w_node):
+        pred = apply_hetero_gnn(params, cfg, meta, arrays, training=True)
+        p = jnp.take(pred[:, 0], batch_idx, axis=0)
+        y = jnp.take(y_node, batch_idx, axis=0)
+        w = jnp.take(w_node, batch_idx, axis=0)
+        # LDSC-weighted MSE (reference kgwas/kgwas.py:145)
+        return jnp.mean(w * (p - y) ** 2)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, arrays, batch_idx, y_node, w_node):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, arrays, batch_idx, y_node, w_node
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_forward(cfg: ModelConfig, meta: dict) -> Callable:
+    """Jitted full-graph forward returning per-SNP predictions [N_snp_pad].
+    One call evaluates every SNP — replaces the reference's minibatch eval
+    loops (reference kgwas/utils.py:20-39) entirely."""
+
+    @jax.jit
+    def forward(params, arrays):
+        pred = apply_hetero_gnn(params, cfg, meta, arrays, training=False)
+        return pred[:, 0]
+
+    return forward
+
+
+def build_optimizer(lr: float, weight_decay: float):
+    return torch_adam(lr, weight_decay)
+
+
+def epoch_batches(ids, batch_size: int, shuffle: bool, rng) -> list:
+    """Seed-batch schedule: consecutive chunks, drop_last=True (reference
+    kgwas.py:93 loader kwargs; NeighborLoader default shuffle=False)."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    if shuffle:
+        ids = ids[rng.permutation(len(ids))]
+    n_steps = len(ids) // batch_size
+    return [ids[i * batch_size : (i + 1) * batch_size] for i in range(n_steps)]

@@ -1,0 +1,150 @@
+"""Shard compiler: HeteroGraph -> static-shape, device-ready arrays.
+
+This is the TPU replacement for PyG's ``NeighborLoader`` + torch_scatter
+machinery (reference kgwas/kgwas.py:99-113, kgwas/conv.py:7-13). Instead of
+sampling neighborhoods on CPU workers per batch, we compile the whole KG once
+into padded, destination-sorted COO shards with static shapes, so a jitted
+full-graph forward computes every edge exactly once per step.
+
+Layout per relation (src_type, rel, dst_type):
+  * ``src`` int32 [E_pad]  — source node indices, destination-sorted order
+  * ``dst`` int32 [E_pad]  — destination node indices, ascending
+  * pads at the tail: dst = trash_row(dst_type), src = 0
+  * ``row_offsets`` int32 [N_pad+1] — CSR offsets over dst (for Pallas kernels)
+
+Layout per node type:
+  * ``x`` float32 [N_pad, D] — features, zero-padded rows
+  * trash_row = N (real nodes are [0, N)); N_pad >= N+1 rounded to 8
+
+Pad edges aggregate into the trash row which is never read by real nodes and
+never a source of real edges, so forward/backward are exact. Hot loops
+(dst-sort, CSR build) go through the native C++ extension when built
+(kgwas_tpu/native), with a numpy fallback.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .schema import HeteroGraph, EdgeType, edge_key
+from ..native import shardops
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class RelationShard:
+    key: str
+    src_type: str
+    rel: str
+    dst_type: str
+    src: np.ndarray          # int32 [E_pad]
+    dst: np.ndarray          # int32 [E_pad]
+    num_edges: int           # real edge count (static)
+    row_offsets: Optional[np.ndarray] = None  # int32 [N_dst_pad + 1]
+
+
+@dataclass
+class CompiledGraph:
+    """Static-shape compiled KG. ``arrays()`` returns the jit-traversable
+    pytree; everything else is static Python metadata."""
+
+    node_x: Dict[str, np.ndarray]            # ntype -> [N_pad, D]
+    num_nodes: Dict[str, int]                # real N per type
+    padded_nodes: Dict[str, int]             # N_pad per type
+    relations: Dict[str, RelationShard]      # edge_key -> shard
+    edge_types: Tuple[EdgeType, ...]
+
+    @property
+    def trash_row(self) -> Dict[str, int]:
+        return {t: n for t, n in self.num_nodes.items()}
+
+    def total_real_edges(self) -> int:
+        return sum(r.num_edges for r in self.relations.values())
+
+    def arrays(self) -> dict:
+        """The dynamic pytree fed into jitted functions."""
+        return {
+            "x": dict(self.node_x),
+            "edges": {
+                k: {"src": r.src, "dst": r.dst} for k, r in self.relations.items()
+            },
+        }
+
+    def meta(self) -> dict:
+        """Static metadata captured by closure at trace time."""
+        return {
+            "num_nodes": dict(self.num_nodes),
+            "padded_nodes": dict(self.padded_nodes),
+            "num_edges": {k: r.num_edges for k, r in self.relations.items()},
+            "rel_types": {
+                k: (r.src_type, r.rel, r.dst_type) for k, r in self.relations.items()
+            },
+        }
+
+
+def compile_graph(
+    g: HeteroGraph,
+    edge_pad_multiple: int = 512,
+    node_pad_multiple: int = 8,
+    build_csr: bool = True,
+) -> CompiledGraph:
+    g.validate()
+    num_nodes = {t: g.num_nodes(t) for t in g.node_types}
+    padded_nodes = {t: round_up(n + 1, node_pad_multiple) for t, n in num_nodes.items()}
+
+    node_x = {}
+    for t in g.node_types:
+        x = np.asarray(g.node_features[t], dtype=np.float32)
+        n_pad = padded_nodes[t]
+        if n_pad > x.shape[0]:
+            x = np.concatenate(
+                [x, np.zeros((n_pad - x.shape[0], x.shape[1]), dtype=np.float32)], axis=0
+            )
+        node_x[t] = x
+
+    relations = {}
+    for et in g.edge_types:
+        src_t, rel, dst_t = et
+        ei = np.asarray(g.edge_index[et])
+        e = int(ei.shape[1])
+        e_pad = max(round_up(e, edge_pad_multiple), edge_pad_multiple)
+        trash = num_nodes[dst_t]
+
+        src_sorted, dst_sorted = shardops.sort_edges_by_dst(
+            ei[0].astype(np.int64), ei[1].astype(np.int64)
+        )
+
+        src_arr = np.zeros(e_pad, dtype=np.int32)
+        dst_arr = np.full(e_pad, trash, dtype=np.int32)
+        src_arr[:e] = src_sorted
+        dst_arr[:e] = dst_sorted
+
+        row_offsets = None
+        if build_csr:
+            row_offsets = shardops.build_csr_offsets(
+                dst_arr.astype(np.int64), padded_nodes[dst_t]
+            ).astype(np.int32)
+
+        relations[edge_key(et)] = RelationShard(
+            key=edge_key(et),
+            src_type=src_t,
+            rel=rel,
+            dst_type=dst_t,
+            src=src_arr,
+            dst=dst_arr,
+            num_edges=e,
+            row_offsets=row_offsets,
+        )
+
+    return CompiledGraph(
+        node_x=node_x,
+        num_nodes=num_nodes,
+        padded_nodes=padded_nodes,
+        relations=relations,
+        edge_types=tuple(g.edge_types),
+    )

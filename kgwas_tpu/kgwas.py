@@ -1,0 +1,337 @@
+"""KGWAS: training/inference engine + orchestration (user API).
+
+API mirror of the reference orchestrator (reference kgwas/kgwas.py:25-273)
+over the TPU-native stack: full-graph jitted training, functional best-model
+snapshots (no deepcopy needed — params are immutable pytrees), host-side
+Storey–Tibshirani reweighting + calibration, MAGMA subprocess, and
+attention-based interpretation.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .config import ModelConfig
+from .engine.checkpoint import load_model, save_model
+from .engine.loop import build_optimizer, epoch_batches, make_forward, make_train_step
+from .models.hetero_gnn import init_hetero_gnn
+from .stats.calibration import find_closest_x, storey_tibshirani_integrate
+from .utils import compute_metrics, print_sys
+
+
+class KGWAS:
+    def __init__(
+        self,
+        data,
+        weight_bias_track: bool = False,
+        device: Optional[str] = None,
+        proj_name: str = "KGWAS",
+        exp_name: str = "KGWAS",
+        seed: int = 42,
+    ):
+        self.seed = seed
+        self.data = data
+        self.data_path = data.data_path
+        self.exp_name = exp_name
+        self.device = device  # jax picks the platform; kept for API parity
+
+        if weight_bias_track:
+            import wandb
+
+            wandb.init(project=proj_name, name=exp_name)
+            self.wandb = wandb
+        else:
+            self.wandb = False
+
+    # ------------------------------------------------------------------ model
+
+    def initialize_model(
+        self,
+        gnn_num_layers: int = 2,
+        gnn_hidden_dim: int = 128,
+        gnn_backbone: str = "GAT",
+        gnn_aggr: str = "sum",
+        gat_num_head: int = 1,
+        no_relu: bool = False,
+        **tpu_kwargs,
+    ):
+        """Defaults mirror reference kgwas/kgwas.py:52. Extra kwargs reach the
+        TPU-specific ModelConfig fields (compute_dtype, remat, ...)."""
+        import jax
+
+        self.config = {
+            "gnn_num_layers": gnn_num_layers,
+            "gnn_hidden_dim": gnn_hidden_dim,
+            "gnn_backbone": gnn_backbone,
+            "gnn_aggr": gnn_aggr,
+            "gat_num_head": gat_num_head,
+        }
+        self.model_cfg = ModelConfig(
+            gnn_num_layers=gnn_num_layers,
+            gnn_hidden_dim=gnn_hidden_dim,
+            gnn_backbone=gnn_backbone,
+            gnn_aggr=gnn_aggr,
+            gat_num_head=gat_num_head,
+            no_relu=no_relu,
+            **tpu_kwargs,
+        )
+        cg = self.data.compile()
+        self.meta = cg.meta()
+        self.params = init_hetero_gnn(
+            jax.random.PRNGKey(self.seed),
+            self.model_cfg,
+            self.meta,
+            self.data.snp_init_dim_size,
+            self.data.gene_init_dim_size,
+            self.data.go_init_dim_size,
+        )
+        self.best_params = self.params
+        return self
+
+    def load_pretrained(self, path: str):
+        """Load a checkpoint saved by this framework (config.pkl +
+        model.npz + pred.csv; same artifact contract as reference
+        kgwas.py:73-83)."""
+        params, config = load_model(path)
+        self.initialize_model(**config)
+        self.config = config
+        self.params = params
+        self.best_params = params
+        pred_path = os.path.join(path, "pred.csv")
+        if os.path.exists(pred_path):
+            self.kgwas_res = pd.read_csv(pred_path, sep=None, engine="python")
+        self.save_name = path.split("/")[-1]
+        return self
+
+    def load_pretrained_torch(self, path: str):
+        """Import a reference PyTorch checkpoint directory (model.pt +
+        config.pkl) — serve reference-trained models from this framework."""
+        import pickle
+
+        from .engine.checkpoint import load_pretrained_torch
+
+        with open(os.path.join(path, "config.pkl"), "rb") as f:
+            config = pickle.load(f)
+        self.initialize_model(**config)
+        self.config = config
+        self.params = load_pretrained_torch(
+            path, config["gnn_num_layers"], config["gnn_backbone"]
+        )
+        self.best_params = self.params
+        return self
+
+    # --------------------------------------------------------------- training
+
+    def _device_state(self):
+        import jax
+        import jax.numpy as jnp
+
+        cg = self.data.compile()
+        arrays = jax.device_put(cg.arrays())
+
+        n_pad = cg.padded_nodes["SNP"]
+        y_node = np.zeros(n_pad, dtype=np.float32)
+        y_lbl = self.data.graph.node_labels.get("SNP")
+        if y_lbl is not None:
+            y_node[: len(y_lbl)] = y_lbl
+
+        w_node = np.zeros(n_pad, dtype=np.float32)
+        idx2id = self.data.idx2id["SNP"]
+        for rs, w in self.data.rs_id_to_ldsc_weight.items():
+            w_node[self.data.id2idx["SNP"][rs]] = w
+
+        return cg, arrays, jnp.asarray(y_node), jnp.asarray(w_node)
+
+    def train(
+        self,
+        batch_size: int = 512,
+        num_workers: int = 0,  # API parity; no CPU sampler processes exist
+        lr: float = 1e-4,
+        weight_decay: float = 5e-4,
+        epoch: int = 10,
+        save_best_model: bool = True,
+        save_name: Optional[str] = None,
+        shuffle: bool = False,
+        log_interval: int = 500,
+    ):
+        """Training defaults mirror reference kgwas/kgwas.py:85-87."""
+        import jax
+        import jax.numpy as jnp
+
+        total_epoch = epoch
+        if save_name is None:
+            save_name = self.exp_name
+        self.save_name = save_name
+
+        print_sys("Compiling graph shards...")
+        cg, arrays, y_node, w_node = self._device_state()
+        train_ids = np.asarray(self.data.train_mask)
+        val_ids = np.asarray(self.data.val_mask)
+        test_ids = np.asarray(self.data.test_mask)
+
+        optimizer = build_optimizer(lr, weight_decay)
+        opt_state = optimizer.init(self.params)
+        train_step = make_train_step(self.model_cfg, self.meta, optimizer)
+        forward = make_forward(self.model_cfg, self.meta)
+        self._forward = forward
+
+        params = self.params
+        # device copy: train_step donates its input buffers, so the initial
+        # pytree must be snapshotted or a never-improving run (e.g. NaN val
+        # pearson) would save deleted buffers (mirrors reference kgwas.py:124
+        # deepcopy of the initial model)
+        best_params = jax.tree_util.tree_map(jnp.copy, params)
+        min_val = -1000.0  # early-stop on ascending val pearson (ref :119-123)
+        best_epoch = 0
+        shuffle_rng = np.random.default_rng(self.seed)
+
+        print_sys("Start Training...")
+        self.train_history = []
+        for ep in range(total_epoch):
+            batches = epoch_batches(train_ids, batch_size, shuffle, shuffle_rng)
+            t0 = time.time()
+            last_loss = float("nan")
+            for step, bidx in enumerate(batches):
+                params, opt_state, loss = train_step(
+                    params, opt_state, arrays, jnp.asarray(bidx), y_node, w_node
+                )
+                if self.wandb:
+                    self.wandb.log({"training_loss": float(loss)})
+                if (step % log_interval == 0) and (step >= log_interval):
+                    print_sys(
+                        f"Epoch {ep + 1} Step {step + 1} Train Loss: {float(loss):.4f}"
+                    )
+                last_loss = loss
+            epoch_time = time.time() - t0
+
+            pred_all = np.asarray(forward(params, arrays))
+            val_metrics = compute_metrics(
+                {"pred": pred_all[val_ids], "truth": np.asarray(y_node)[val_ids]}
+            )
+            print_sys(
+                f"Epoch {ep + 1}: Validation MSE: {val_metrics['mse']:.4f} "
+                f"Validation Pearson: {val_metrics['pearsonr']:.4f}. "
+                f"({len(batches)} steps, {epoch_time:.2f}s)"
+            )
+            self.train_history.append(
+                {
+                    "epoch": ep + 1,
+                    "loss": float(last_loss),
+                    "epoch_time_s": epoch_time,
+                    **{f"val_{k}": v for k, v in val_metrics.items()},
+                }
+            )
+            if self.wandb:
+                for k, v in val_metrics.items():
+                    self.wandb.log({"val_" + k: v})
+
+            if val_metrics["pearsonr"] > min_val:
+                min_val = val_metrics["pearsonr"]
+                # device copy: train_step donates its input buffers, so a
+                # by-reference snapshot would be invalidated next step
+                best_params = jax.tree_util.tree_map(jnp.copy, params)
+                best_epoch = ep
+
+        self.params = params
+        self.best_params = best_params
+        self.best_epoch = best_epoch
+
+        if save_best_model:
+            save_model_path = os.path.join(self.data_path, "model")
+            print_sys("Saving models to " + os.path.join(save_model_path, save_name))
+            save_model(
+                best_params, self.config, os.path.join(save_model_path, save_name)
+            )
+
+        # test + infer with the best model (reference kgwas.py:182-191)
+        pred_all = np.asarray(forward(best_params, arrays))
+        test_metrics = compute_metrics(
+            {"pred": pred_all[test_ids], "truth": np.asarray(y_node)[test_ids]}
+        )
+        self.test_metrics = test_metrics
+        if self.wandb:
+            for k, v in test_metrics.items():
+                self.wandb.log({"test_" + k: v})
+
+        infer_idx = np.asarray(self.data.all_mask)
+        self.data.lr_uni["pred"] = pred_all[infer_idx]
+        lr_uni_to_save = self.data.lr_uni.copy(deep=True)
+
+        self.data.lr_uni["abs_pred"] = np.abs(self.data.lr_uni["pred"])
+        self.data.lr_uni["SR_P_val"] = storey_tibshirani_integrate(
+            self.data.lr_uni, column="abs_pred", num_bins=500
+        )
+        self.data.lr_uni["SR"] = -(
+            np.log10(self.data.lr_uni["SR_P_val"].astype(float).values)
+        )
+        lr_uni_to_save["P_weighted"] = self.data.lr_uni["SR_P_val"]
+
+        # calibration (reference kgwas.py:200-203)
+        scale_factor = find_closest_x(lr_uni_to_save)
+        self.scale_factor = scale_factor
+        lr_uni_to_save["KGWAS_P"] = scale_factor * lr_uni_to_save["P_weighted"]
+        lr_uni_to_save["KGWAS_P"] = lr_uni_to_save["KGWAS_P"].clip(lower=0, upper=1)
+
+        out_dir = os.path.join(self.data_path, "model_pred", "new_experiments")
+        os.makedirs(out_dir, exist_ok=True)
+        out_csv = os.path.join(out_dir, save_name + "_pred.csv")
+        lr_uni_to_save.to_csv(out_csv, index=False, sep="\t")
+        print_sys("KGWAS prediction and p-values saved to " + out_csv)
+        if save_best_model:
+            lr_uni_to_save.to_csv(
+                os.path.join(self.data_path, "model", save_name, "pred.csv"),
+                index=False,
+                sep="\t",
+            )
+        self.kgwas_res = lr_uni_to_save
+        return lr_uni_to_save
+
+    # -------------------------------------------------------------- inference
+
+    def predict_all(self, params=None) -> np.ndarray:
+        """Per-SNP predictions for every KG SNP (one full-graph forward)."""
+        cg, arrays, _, _ = self._device_state()
+        forward = getattr(self, "_forward", None) or make_forward(
+            self.model_cfg, self.meta
+        )
+        pred = np.asarray(forward(params or self.best_params, arrays))
+        return pred[: cg.num_nodes["SNP"]]
+
+    # ------------------------------------------------------------------ magma
+
+    def run_magma(self, path_to_magma: str, bfile: str):
+        from .external.magma import run_magma
+
+        return run_magma(self, path_to_magma, bfile)
+
+    # --------------------------------------------------------- interpretation
+
+    def get_disease_critical_network(
+        self,
+        variant_threshold: float = 5e-8,
+        magma_path: Optional[str] = None,
+        magma_threshold: float = 0.05,
+        program_threshold: float = 0.05,
+        K_neighbors: int = 3,
+        num_cpus: int = 1,
+    ):
+        from .interpret.attention import get_network_weight
+        from .interpret.network import generate_viz
+
+        df_network_weight = get_network_weight(self, self.data)
+        df_variant_interpretation, disease_critical_network = generate_viz(
+            self,
+            df_network_weight,
+            self.data_path,
+            variant_threshold,
+            magma_path,
+            magma_threshold,
+            program_threshold,
+            K_neighbors,
+            num_cpus,
+        )
+        return df_network_weight, df_variant_interpretation, disease_critical_network

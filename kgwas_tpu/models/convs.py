@@ -1,0 +1,201 @@
+"""Per-relation graph convolutions (GAT / SAGE / GCN / SGC), pure functions.
+
+TPU-native re-design of the reference's per-edge-type convs inside HeteroConv
+(reference kgwas/model.py:34-48 and the forked GATConv in kgwas/conv.py):
+dense transforms ride the MXU over *all* nodes of a type; per-edge work is
+gather -> fused elementwise attention -> destination-sorted segment reduction.
+
+All functions take node features for the relation's src/dst types, the
+relation's padded dst-sorted edge arrays, and the static real edge count.
+Outputs are [N_dst_pad, C_out]; the trash row absorbs pad-edge contributions.
+
+GAT semantics mirrored exactly from reference kgwas/conv.py:122-228:
+  * bipartite lin_src/lin_dst, att_src/att_dst dot-products
+  * alpha = leaky_relu(a_src[src] + a_dst[dst], 0.2)
+  * softmax(alpha / temperature) per dst segment  (PyG softmax w/ +1e-16)
+  * sigmoid_gat option: alpha = sigmoid(alpha / temperature)  (conv.py:219-220)
+  * raw-attention mode: softmax SKIPPED — raw alpha weights the messages
+    (conv.py:222-223); used by interpretation (utils.py:452-458)
+  * message = alpha * x_src'; scatter-add by dst; concat heads + bias
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import (
+    edge_valid_mask,
+    gather_rows,
+    leaky_relu,
+    segment_max,
+    segment_mean,
+    segment_softmax,
+    segment_sum,
+)
+from .init import glorot_att, glorot_weight, torch_linear_bias, torch_linear_weight, zeros
+
+
+# ---------------------------------------------------------------------------
+# GAT
+# ---------------------------------------------------------------------------
+
+def init_gat(key, in_src: int, in_dst: int, out: int, heads: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "lin_src": {"w": glorot_weight(ks[0], in_src, heads * out, dtype)},
+        "lin_dst": {"w": glorot_weight(ks[1], in_dst, heads * out, dtype)},
+        "att_src": glorot_att(ks[2], heads, out, dtype),
+        "att_dst": glorot_att(ks[3], heads, out, dtype),
+        "bias": zeros((heads * out,), dtype),
+    }
+
+
+def apply_gat(
+    params,
+    x_src: jnp.ndarray,
+    x_dst: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    num_real_edges: int,
+    num_dst_segments: int,
+    heads: int,
+    out_channels: int,
+    negative_slope: float = 0.2,
+    temperature: float = 1.0,
+    sigmoid_gat: bool = False,
+    raw_attention: bool = False,
+    dropout_p: float = 0.0,
+    dropout_rng=None,
+    return_alpha: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    H, C = heads, out_channels
+    e_pad = src.shape[0]
+    valid = edge_valid_mask(e_pad, num_real_edges)
+
+    xs = x_src @ params["lin_src"]["w"]            # [Ns, H*C]
+    xd = x_dst @ params["lin_dst"]["w"]            # [Nd, H*C]
+
+    a_src = jnp.sum(xs.reshape(-1, H, C) * params["att_src"], axis=-1)  # [Ns, H]
+    a_dst = jnp.sum(xd.reshape(-1, H, C) * params["att_dst"], axis=-1)  # [Nd, H]
+
+    alpha = gather_rows(a_src, src) + gather_rows(a_dst, dst)           # [E, H]
+    alpha = leaky_relu(alpha, negative_slope)
+
+    if sigmoid_gat:
+        alpha = jax.nn.sigmoid(alpha / temperature)
+    elif raw_attention:
+        pass  # raw (pre-softmax) alpha weights the messages — conv.py:222-223
+    else:
+        alpha = segment_softmax(alpha / temperature, dst, num_dst_segments, valid)
+
+    if dropout_p > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - dropout_p), 0.0)
+
+    alpha_m = jnp.where(valid[:, None], alpha, 0.0)
+    msgs = gather_rows(xs, src).reshape(e_pad, H, C) * alpha_m[:, :, None]
+    out = segment_sum(msgs.reshape(e_pad, H * C), dst, num_dst_segments)
+    out = out + params["bias"]
+    return (out, alpha) if return_alpha else (out, None)
+
+
+# ---------------------------------------------------------------------------
+# SAGE (PyG SAGEConv((-1,-1), C): mean-aggr raw x_j, lin_l on aggregate + bias,
+# root transform lin_r without bias)
+# ---------------------------------------------------------------------------
+
+def init_sage(key, in_src: int, in_dst: int, out: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    return {
+        "lin_l": {
+            "w": torch_linear_weight(ks[0], in_src, out, dtype),
+            "b": torch_linear_bias(ks[1], in_src, out, dtype),
+        },
+        "lin_r": {"w": torch_linear_weight(ks[2], in_dst, out, dtype)},
+    }
+
+
+def apply_sage(
+    params,
+    x_src: jnp.ndarray,
+    x_dst: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    num_real_edges: int,
+    num_dst_segments: int,
+) -> jnp.ndarray:
+    valid = edge_valid_mask(src.shape[0], num_real_edges)
+    agg = segment_mean(gather_rows(x_src, src), dst, num_dst_segments, valid)
+    out = agg @ params["lin_l"]["w"] + params["lin_l"]["b"]
+    return out + x_dst @ params["lin_r"]["w"]
+
+
+# ---------------------------------------------------------------------------
+# GCN / SGC (add_self_loops=False per reference model.py:44-46). For bipartite
+# relations the symmetric norm generalizes to
+# 1/sqrt(out_deg(src)) * 1/sqrt(in_deg(dst)); on homogeneous undirected
+# relations (the reference's case after ToUndirected) this equals PyG gcn_norm.
+# ---------------------------------------------------------------------------
+
+def init_gcn(key, in_src: int, out: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 2)
+    return {
+        "lin": {"w": glorot_weight(ks[0], in_src, out, dtype)},
+        "bias": zeros((out,), dtype),
+    }
+
+
+def _sym_norm(src, dst, valid, num_src_segments, num_dst_segments, dtype):
+    ones = valid.astype(dtype)
+    deg_dst = jax.ops.segment_sum(ones, dst, num_segments=num_dst_segments,
+                                  indices_are_sorted=True)
+    deg_src = jax.ops.segment_sum(ones, src, num_segments=num_src_segments,
+                                  indices_are_sorted=False)
+    dinv_dst = jnp.where(deg_dst > 0, jax.lax.rsqrt(jnp.maximum(deg_dst, 1.0)), 0.0)
+    dinv_src = jnp.where(deg_src > 0, jax.lax.rsqrt(jnp.maximum(deg_src, 1.0)), 0.0)
+    return gather_rows(dinv_src, src) * gather_rows(dinv_dst, dst) * ones
+
+
+def apply_gcn(
+    params,
+    x_src: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    num_real_edges: int,
+    num_src_segments: int,
+    num_dst_segments: int,
+) -> jnp.ndarray:
+    valid = edge_valid_mask(src.shape[0], num_real_edges)
+    xp = x_src @ params["lin"]["w"]
+    norm = _sym_norm(src, dst, valid, num_src_segments, num_dst_segments, xp.dtype)
+    msgs = gather_rows(xp, src) * norm[:, None]
+    return segment_sum(msgs, dst, num_dst_segments) + params["bias"]
+
+
+def init_sgc(key, in_src: int, out: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 2)
+    return {
+        "lin": {
+            "w": torch_linear_weight(ks[0], in_src, out, dtype),
+            "b": torch_linear_bias(ks[1], in_src, out, dtype),
+        }
+    }
+
+
+def apply_sgc(
+    params,
+    x_src: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    num_real_edges: int,
+    num_src_segments: int,
+    num_dst_segments: int,
+) -> jnp.ndarray:
+    """SGConv K=1 (reference model.py:46 default): lin((norm A) x)."""
+    valid = edge_valid_mask(src.shape[0], num_real_edges)
+    norm = _sym_norm(src, dst, valid, num_src_segments, num_dst_segments, x_src.dtype)
+    msgs = gather_rows(x_src, src) * norm[:, None]
+    agg = segment_sum(msgs, dst, num_dst_segments)
+    return agg @ params["lin"]["w"] + params["lin"]["b"]

@@ -1,0 +1,288 @@
+"""HeteroGNN: the flagship model (TPU re-design of reference kgwas/model.py:24-86).
+
+Architecture (identical math, full-graph execution):
+  1. per-type SimpleMLP encoders -> hidden (GO MLP shared by the 3 GO types,
+     reference model.py:31,58-60)
+  2. num_layers x hetero conv: one per-relation conv per edge type, aggregated
+     across relations per destination type (aggr from config, reference
+     model.py:47), then ReLU on every node type (model.py:75)
+  3. scalar head: ReLU(Linear(h_SNP)) (or no ReLU, model.py:83-86)
+
+Where the reference runs this over NeighborLoader subgraphs, we run it over
+the compiled full graph: since the reference samples with
+num_neighbors=[-1]*L (kgwas/kgwas.py:99-113), seed-node outputs of the two
+formulations are mathematically identical; callers gather the seed rows.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .convs import (
+    apply_gat,
+    apply_gcn,
+    apply_sage,
+    apply_sgc,
+    init_gat,
+    init_gcn,
+    init_sage,
+    init_sgc,
+)
+from .init import torch_linear_bias, torch_linear_weight
+from .mlp import apply_mlp, init_mlp
+
+GO_TYPES = ("CellularComponent", "BiologicalProcess", "MolecularFunction")
+
+
+def encoder_for(ntype: str) -> str:
+    if ntype == "SNP":
+        return "snp_feat_mlp"
+    if ntype == "Gene":
+        return "gene_feat_mlp"
+    if ntype in GO_TYPES:
+        return "go_feat_mlp"
+    raise ValueError(f"unknown node type {ntype!r}")
+
+
+def init_hetero_gnn(
+    key,
+    cfg: ModelConfig,
+    meta: dict,
+    snp_init_dim: int,
+    gene_init_dim: int,
+    go_init_dim: int,
+):
+    """meta: CompiledGraph.meta(). Returns the parameter pytree."""
+    h = cfg.gnn_hidden_dim
+    dtype = jnp.dtype(cfg.param_dtype)
+    keys = jax.random.split(key, 4 + cfg.gnn_num_layers)
+
+    params = {
+        "snp_feat_mlp": init_mlp(keys[0], snp_init_dim, h, h, dtype),
+        "go_feat_mlp": init_mlp(keys[1], go_init_dim, h, h, dtype),
+        "gene_feat_mlp": init_mlp(keys[2], gene_init_dim, h, h, dtype),
+        "convs": [],
+        "lin": {},
+    }
+
+    rel_types = meta["rel_types"]
+    for li in range(cfg.gnn_num_layers):
+        layer = {}
+        rel_keys = list(rel_types.keys())
+        rkeys = jax.random.split(keys[3 + li], max(len(rel_keys), 1))
+        for rk, rkey in zip(rel_keys, rkeys):
+            if cfg.gnn_backbone == "GAT":
+                layer[rk] = init_gat(rkey, h, h, h, cfg.gat_num_head, dtype)
+            elif cfg.gnn_backbone == "SAGE":
+                layer[rk] = init_sage(rkey, h, h, h, dtype)
+            elif cfg.gnn_backbone == "GCN":
+                layer[rk] = init_gcn(rkey, h, h, dtype)
+            elif cfg.gnn_backbone == "SGC":
+                layer[rk] = init_sgc(rkey, h, h, dtype)
+            else:
+                raise ValueError(f"unknown backbone {cfg.gnn_backbone!r}")
+        params["convs"].append(layer)
+
+    hk = jax.random.split(keys[3 + cfg.gnn_num_layers - 1 + 1], 2)
+    params["lin"] = {
+        "w": torch_linear_weight(hk[0], h, cfg.out_channels, dtype),
+        "b": torch_linear_bias(hk[1], h, cfg.out_channels, dtype),
+    }
+    return params
+
+
+def _apply_relation_conv(
+    rp,
+    cfg: ModelConfig,
+    h: Dict[str, jnp.ndarray],
+    src_t: str,
+    dst_t: str,
+    edges,
+    num_real: int,
+    padded_nodes: Dict[str, int],
+    raw_attention: bool,
+    return_alpha: bool,
+    dropout_rng=None,
+    training: bool = False,
+):
+    src, dst = edges["src"], edges["dst"]
+    nd = padded_nodes[dst_t]
+    ns = padded_nodes[src_t]
+    if cfg.gnn_backbone == "GAT":
+        return apply_gat(
+            rp,
+            h[src_t],
+            h[dst_t],
+            src,
+            dst,
+            num_real,
+            nd,
+            heads=cfg.gat_num_head,
+            out_channels=cfg.gnn_hidden_dim,
+            negative_slope=cfg.negative_slope,
+            temperature=cfg.temperature,
+            sigmoid_gat=cfg.sigmoid_gat,
+            raw_attention=raw_attention,
+            dropout_p=cfg.dropout if training else 0.0,
+            dropout_rng=dropout_rng,
+            return_alpha=return_alpha,
+        )
+    if cfg.gnn_backbone == "SAGE":
+        return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd), None
+    if cfg.gnn_backbone == "GCN":
+        return apply_gcn(rp, h[src_t], src, dst, num_real, ns, nd), None
+    if cfg.gnn_backbone == "SGC":
+        return apply_sgc(rp, h[src_t], src, dst, num_real, ns, nd), None
+    raise ValueError(cfg.gnn_backbone)
+
+
+def _aggregate(outs, aggr: str):
+    if len(outs) == 1:
+        return outs[0]
+    stacked = jnp.stack(outs, axis=0)
+    if aggr == "sum":
+        return jnp.sum(stacked, axis=0)
+    if aggr == "mean":
+        return jnp.mean(stacked, axis=0)
+    if aggr == "max":
+        return jnp.max(stacked, axis=0)
+    if aggr == "min":
+        return jnp.min(stacked, axis=0)
+    raise ValueError(f"unknown hetero aggr {aggr!r}")
+
+
+def apply_encoders(params, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {t: apply_mlp(params[encoder_for(t)], xt) for t, xt in x.items()}
+
+
+def apply_hetero_layer(
+    layer_params,
+    cfg: ModelConfig,
+    meta: dict,
+    h: Dict[str, jnp.ndarray],
+    edges: Dict[str, dict],
+    raw_attention: bool = False,
+    collect_alpha: bool = False,
+    dropout_rng=None,
+    training: bool = False,
+):
+    """One HeteroConv application. Returns (out_dict, alpha_dict)."""
+    rel_types = meta["rel_types"]
+    num_edges = meta["num_edges"]
+    padded_nodes = meta["padded_nodes"]
+    per_dst: Dict[str, list] = {}
+    alphas: Dict[str, jnp.ndarray] = {}
+    for rk, rp in layer_params.items():
+        src_t, _, dst_t = rel_types[rk]
+        rng = None
+        if dropout_rng is not None:
+            dropout_rng, rng = jax.random.split(dropout_rng)
+        out, alpha = _apply_relation_conv(
+            rp,
+            cfg,
+            h,
+            src_t,
+            dst_t,
+            edges[rk],
+            num_edges[rk],
+            padded_nodes,
+            raw_attention,
+            collect_alpha,
+            dropout_rng=rng,
+            training=training,
+        )
+        per_dst.setdefault(dst_t, []).append(out)
+        if collect_alpha and alpha is not None:
+            alphas[rk] = alpha
+    out_dict = {t: _aggregate(outs, cfg.gnn_aggr) for t, outs in per_dst.items()}
+    return out_dict, alphas
+
+
+def apply_hetero_gnn(
+    params,
+    cfg: ModelConfig,
+    meta: dict,
+    graph_arrays: dict,
+    training: bool = False,
+    dropout_rng=None,
+    return_hidden: bool = False,
+):
+    """Full-graph forward. Returns pred [N_snp_pad, out_channels] (all SNP
+    rows; gather seed rows outside — the full-graph analog of the
+    ``[:batch_size]`` seed slice at reference model.py:79-86)."""
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        return _apply_hetero_gnn(
+            params, cfg, meta, graph_arrays, training, dropout_rng, return_hidden
+        )
+
+
+def _apply_hetero_gnn(
+    params,
+    cfg: ModelConfig,
+    meta: dict,
+    graph_arrays: dict,
+    training: bool = False,
+    dropout_rng=None,
+    return_hidden: bool = False,
+):
+    x = graph_arrays["x"]
+    edges = graph_arrays["edges"]
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    if compute_dtype != jnp.float32:
+        x = {t: v.astype(compute_dtype) for t, v in x.items()}
+        params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+
+    h = apply_encoders(params, x)
+
+    def layer_fn(h, layer_params, rng):
+        out, _ = apply_hetero_layer(
+            layer_params, cfg, meta, h, edges,
+            dropout_rng=rng, training=training,
+        )
+        return {t: jax.nn.relu(v) for t, v in out.items()}
+
+    for layer_params in params["convs"]:
+        rng = None
+        if dropout_rng is not None:
+            dropout_rng, rng = jax.random.split(dropout_rng)
+        if cfg.remat:
+            h = jax.checkpoint(lambda hh, lp=layer_params, r=rng: layer_fn(hh, lp, r))(h)
+        else:
+            h = layer_fn(h, layer_params, rng)
+
+    logits = h["SNP"] @ params["lin"]["w"] + params["lin"]["b"]
+    pred = logits if cfg.no_relu else jax.nn.relu(logits)
+    pred = pred.astype(jnp.float32)
+    if return_hidden:
+        return pred, h["SNP"].astype(jnp.float32)
+    return pred
+
+
+def apply_collect_attention(
+    params,
+    cfg: ModelConfig,
+    meta: dict,
+    graph_arrays: dict,
+    raw: bool = True,
+):
+    """Interpretation forward (reference kgwas/utils.py:446-461): encoders,
+    then conv layers collecting per-relation attention. Mirrors the reference
+    quirks exactly: raw (pre-softmax) alpha weights the messages, and NO ReLU
+    is applied between layers on this path.
+
+    Returns list (per layer) of dicts relkey -> alpha [E_pad, H].
+    """
+    x = graph_arrays["x"]
+    edges = graph_arrays["edges"]
+    h = apply_encoders(params, x)
+    all_layers = []
+    for layer_params in params["convs"]:
+        h, alphas = apply_hetero_layer(
+            layer_params, cfg, meta, h, edges,
+            raw_attention=raw, collect_alpha=True,
+        )
+        all_layers.append(alphas)
+    return all_layers

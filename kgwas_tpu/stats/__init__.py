@@ -1,0 +1,7 @@
+from .ldsc import ldsc_regression_weights
+from .calibration import (
+    find_closest_x,
+    storey_pi_estimator,
+    storey_tibshirani_integrate,
+    storey_ribshirani_integrate,
+)

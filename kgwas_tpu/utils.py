@@ -1,0 +1,56 @@
+"""Shared utilities (host-side): logging, pickle IO, metrics.
+
+Mirrors the semantics of reference kgwas/utils.py:20-45,181-233 without torch.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def print_sys(s):
+    """stderr logging (reference kgwas/utils.py:227-233)."""
+    print(s, flush=True, file=sys.stderr)
+
+
+def save_dict(path, obj):
+    with open(path, "wb") as f:
+        pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)
+
+
+def load_dict(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def compute_metrics(results: dict) -> dict:
+    """MSE + Pearson r on pred/truth arrays (reference kgwas/utils.py:41-45)."""
+    from scipy.stats import pearsonr
+
+    pred = np.asarray(results["pred"], dtype=np.float64)
+    truth = np.asarray(results["truth"], dtype=np.float64)
+    mse = float(np.mean((pred - truth) ** 2))
+    if np.std(pred) == 0 or np.std(truth) == 0:
+        r = float("nan")
+    else:
+        r = float(pearsonr(pred, truth)[0])
+    return {"mse": mse, "pearsonr": r}
+
+
+def find_nearest(array, value):
+    """reference kgwas/utils.py:313-316."""
+    array = np.asarray(array)
+    idx = (np.abs(array - value)).argmin()
+    return array[idx]
+
+
+def flatten(list_of_lists):
+    return [item for sublist in list_of_lists for item in sublist]
+
+
+def ensure_dir(path):
+    os.makedirs(path, exist_ok=True)
+    return path

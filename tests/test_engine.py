@@ -1,0 +1,110 @@
+"""End-to-end engine tests: the minimum slice of the reference demo workflow
+(reference demo/kgwas_101.ipynb) on synthetic data — load KG, load GWAS,
+process, split, train, KGWAS_P output, checkpoint round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+from kgwas_tpu import KGWAS, KGWAS_Data
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("synth_data"))
+    data = KGWAS_Data.from_synthetic(
+        n_snp=300, n_gene=60, n_go=20, seed=7, data_path=data_dir
+    )
+    data.load_synthetic_gwas(seed=7)
+    data.process_gwas_file()
+    data.prepare_split()
+    run = KGWAS(data, exp_name="test_run", seed=7)
+    run.initialize_model(gnn_hidden_dim=16, gnn_num_layers=2)
+    run.train(batch_size=64, epoch=2, lr=1e-3)
+    return run
+
+
+def test_split_counts(trained_run):
+    data = trained_run.data
+    n = len(data.all_mask)
+    assert len(data.test_mask) == round(0.05 * n)
+    assert len(data.train_mask) + len(data.val_mask) + len(data.test_mask) == n
+    # disjoint
+    assert not set(data.train_mask) & set(data.val_mask)
+    assert not set(data.train_mask) & set(data.test_mask)
+
+
+def test_kgwas_res_columns_and_ranges(trained_run):
+    res = trained_run.kgwas_res
+    for col in ("pred", "P_weighted", "KGWAS_P", "P", "ID"):
+        assert col in res.columns, col
+    assert res.KGWAS_P.min() >= 0
+    assert res.KGWAS_P.max() <= 1
+    assert np.all(np.isfinite(res.P_weighted.values.astype(float)))
+    # final head is ReLU -> preds non-negative
+    assert res.pred.min() >= 0
+
+
+def test_pred_csv_written(trained_run):
+    path = os.path.join(
+        trained_run.data_path, "model_pred", "new_experiments", "test_run_pred.csv"
+    )
+    assert os.path.exists(path)
+    import pandas as pd
+
+    df = pd.read_csv(path, sep="\t")
+    assert len(df) == len(trained_run.kgwas_res)
+
+
+def test_training_changes_params_and_history(trained_run):
+    hist = trained_run.train_history
+    assert len(hist) == 2
+    assert all(np.isfinite(h["val_pearsonr"]) for h in hist)
+    assert all(h["epoch_time_s"] > 0 for h in hist)
+
+
+def test_checkpoint_roundtrip(trained_run):
+    import jax
+
+    path = os.path.join(trained_run.data_path, "model", "test_run")
+    assert os.path.exists(os.path.join(path, "model.npz"))
+    assert os.path.exists(os.path.join(path, "config.pkl"))
+    assert os.path.exists(os.path.join(path, "pred.csv"))
+
+    run2 = KGWAS(trained_run.data, exp_name="reload", seed=7)
+    run2.load_pretrained(path)
+    # same predictions from reloaded params
+    p1 = trained_run.predict_all()
+    p2 = run2.predict_all()
+    np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-7)
+    assert run2.config == trained_run.config
+
+
+def test_early_stop_keeps_best(trained_run):
+    # best_params must reproduce the best recorded val pearson
+    from kgwas_tpu.utils import compute_metrics
+
+    data = trained_run.data
+    cg = data.compile()
+    pred = trained_run.predict_all(trained_run.best_params)
+    y = data.graph.node_labels["SNP"]
+    val_ids = np.asarray(data.val_mask)
+    m = compute_metrics({"pred": pred[val_ids], "truth": y[val_ids]})
+    best_hist = max(h["val_pearsonr"] for h in trained_run.train_history)
+    np.testing.assert_allclose(m["pearsonr"], best_hist, rtol=1e-5)
+
+
+def test_interpretation_pipeline(trained_run):
+    df_net, df_var, dcn = trained_run.get_disease_critical_network(
+        variant_threshold=0.5
+    )
+    assert set(
+        ["h_idx", "t_idx", "weight", "h_type", "rel_type", "t_type", "layer"]
+    ) <= set(df_net.columns)
+    assert set(df_net.layer.unique()) == {"l1", "l2"}
+    # all 5 node types participate
+    assert "SNP" in df_net.t_type.values
+    if len(dcn):
+        assert set(dcn.Category.unique()) <= {"V2G", "G2G", "G2P"}
+        # rev_ prefixes stripped in V2G
+        assert not any(r.startswith("rev_") for r in dcn.rel_type.values)

@@ -1,0 +1,189 @@
+"""Model-level tests: per-relation convs vs dense numpy oracles, and the full
+HeteroGNN forward (SURVEY.md section 4 test pyramid level 1/2)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.models import (
+    apply_gat,
+    apply_hetero_gnn,
+    apply_collect_attention,
+    init_gat,
+    init_hetero_gnn,
+)
+
+
+def dense_gat_oracle(params, x_src, x_dst, src, dst, n_dst, H, C,
+                     negative_slope=0.2, temperature=1.0, sigmoid_gat=False,
+                     raw=False):
+    """Literal per-edge numpy re-statement of reference kgwas/conv.py:122-228."""
+    xs = (x_src @ np.asarray(params["lin_src"]["w"])).reshape(-1, H, C)
+    xd = (x_dst @ np.asarray(params["lin_dst"]["w"])).reshape(-1, H, C)
+    a_src = (xs * np.asarray(params["att_src"])).sum(-1)  # [Ns,H]
+    a_dst = (xd * np.asarray(params["att_dst"])).sum(-1)  # [Nd,H]
+    e = len(src)
+    alpha = a_src[src] + a_dst[dst]
+    alpha = np.where(alpha >= 0, alpha, negative_slope * alpha)
+    if sigmoid_gat:
+        alpha = 1.0 / (1.0 + np.exp(-alpha / temperature))
+    elif not raw:
+        out_alpha = np.zeros_like(alpha)
+        for d in np.unique(dst):
+            m = dst == d
+            a = alpha[m] / temperature
+            a = np.exp(a - a.max(axis=0, keepdims=True))
+            out_alpha[m] = a / (a.sum(axis=0, keepdims=True) + 1e-16)
+        alpha = out_alpha
+    out = np.zeros((n_dst, H, C), dtype=np.float64)
+    for i in range(e):
+        out[dst[i]] += alpha[i][:, None] * xs[src[i]]
+    return out.reshape(n_dst, H * C) + np.asarray(params["bias"]), alpha
+
+
+def _sorted_edges(rng, n_src, n_dst, e, e_pad):
+    src = rng.integers(0, n_src, size=e)
+    dst = np.sort(rng.integers(0, n_dst, size=e))
+    src_p = np.zeros(e_pad, dtype=np.int32)
+    dst_p = np.full(e_pad, n_dst, dtype=np.int32)
+    src_p[:e] = src
+    dst_p[:e] = dst
+    return src_p, dst_p
+
+
+@pytest.mark.parametrize("heads,sigmoid_gat,raw", [
+    (1, False, False), (2, False, False), (1, True, False), (1, False, True),
+])
+def test_gat_matches_dense_oracle(heads, sigmoid_gat, raw):
+    rng = np.random.default_rng(5)
+    n_src, n_dst, e, e_pad, din, C = 13, 9, 40, 64, 6, 5
+    src, dst = _sorted_edges(rng, n_src, n_dst, e, e_pad)
+    x_src = rng.standard_normal((n_src + 1, din)).astype(np.float32)
+    x_dst = rng.standard_normal((n_dst + 1, din)).astype(np.float32)
+    params = init_gat(jax.random.PRNGKey(0), din, din, C, heads)
+
+    out, alpha = apply_gat(
+        params, jnp.asarray(x_src), jnp.asarray(x_dst),
+        jnp.asarray(src), jnp.asarray(dst),
+        num_real_edges=e, num_dst_segments=n_dst + 1,
+        heads=heads, out_channels=C,
+        sigmoid_gat=sigmoid_gat, raw_attention=raw, return_alpha=True,
+    )
+    expected, exp_alpha = dense_gat_oracle(
+        params, x_src[:n_src], x_dst[:n_dst], src[:e], dst[:e], n_dst,
+        heads, C, sigmoid_gat=sigmoid_gat, raw=raw,
+    )
+    np.testing.assert_allclose(np.asarray(out)[:n_dst], expected, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha)[:e], exp_alpha, rtol=2e-4, atol=2e-5)
+
+
+def _compiled(seed=7):
+    g = make_synthetic_kg(n_snp=60, n_gene=25, n_go=12, seed=seed)
+    return compile_graph(g, edge_pad_multiple=64)
+
+
+@pytest.mark.parametrize("backbone", ["GAT", "SAGE", "GCN", "SGC"])
+def test_hetero_gnn_forward_shapes_finite(backbone):
+    cg = _compiled()
+    cfg = ModelConfig(gnn_backbone=backbone, gnn_hidden_dim=16)
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(1), cfg, meta, 20, 32, 16)
+    pred = apply_hetero_gnn(params, cfg, meta, cg.arrays())
+    assert pred.shape == (cg.padded_nodes["SNP"], 1)
+    real = np.asarray(pred)[: cg.num_nodes["SNP"]]
+    assert np.all(np.isfinite(real))
+    assert np.all(real >= 0)  # final ReLU head
+
+
+def test_hetero_gnn_no_relu_and_grads():
+    cg = _compiled()
+    cfg = ModelConfig(gnn_hidden_dim=16, no_relu=True)
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(2), cfg, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    def loss(p):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[: cg.num_nodes["SNP"]] ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # gradients reach params on paths that influence SNP outputs:
+    # last layer Gene->SNP, and first layer SNP->Gene feeding it
+    g_last = grads["convs"][-1]["Gene__rev_TSS__SNP"]
+    assert float(jnp.abs(g_last["lin_src"]["w"]).sum()) > 0
+    g_first = grads["convs"][0]["SNP__TSS__Gene"]
+    assert float(jnp.abs(g_first["lin_src"]["w"]).sum()) > 0
+    assert float(jnp.abs(grads["snp_feat_mlp"]["fc1"]["w"]).sum()) > 0
+
+
+def test_hetero_aggr_modes():
+    cg = _compiled()
+    meta = cg.meta()
+    preds = {}
+    for aggr in ["sum", "mean", "max", "min"]:
+        cfg = ModelConfig(gnn_hidden_dim=8, gnn_aggr=aggr)
+        params = init_hetero_gnn(jax.random.PRNGKey(3), cfg, meta, 20, 32, 16)
+        preds[aggr] = np.asarray(apply_hetero_gnn(params, cfg, meta, cg.arrays()))
+        assert np.all(np.isfinite(preds[aggr][: cg.num_nodes["SNP"]]))
+    assert not np.allclose(preds["sum"], preds["mean"])
+
+
+def test_collect_attention_layers_and_shapes():
+    cg = _compiled()
+    cfg = ModelConfig(gnn_hidden_dim=8, gnn_num_layers=2)
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(4), cfg, meta, 20, 32, 16)
+    layers = apply_collect_attention(params, cfg, meta, cg.arrays(), raw=True)
+    assert len(layers) == 2
+    for alphas in layers:
+        assert set(alphas.keys()) == set(cg.relations.keys())
+        for rk, a in alphas.items():
+            assert a.shape == (cg.relations[rk].src.shape[0], cfg.gat_num_head)
+
+
+def test_full_graph_equals_subgraph_seed_prediction():
+    """The load-bearing equivalence: full-graph forward == forward restricted
+    to the seeds' L-hop in-neighborhood (what NeighborLoader with
+    num_neighbors=[-1]*L computes — reference kgwas/kgwas.py:99-113)."""
+    g = make_synthetic_kg(n_snp=40, n_gene=18, n_go=9, seed=11)
+    cg = compile_graph(g, edge_pad_multiple=32)
+    cfg = ModelConfig(gnn_hidden_dim=8, gnn_num_layers=2)
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(5), cfg, meta, 20, 32, 16)
+    full_pred = np.asarray(apply_hetero_gnn(params, cfg, meta, cg.arrays()))
+
+    # build the exact 2-hop induced subgraph of a few seed SNPs, keeping
+    # original node indices (so we can reuse features/params unchanged)
+    seeds = np.array([3, 17, 29])
+    keep = {t: set() for t in g.node_types}
+    keep["SNP"] |= set(seeds.tolist())
+    frontier = {t: set(keep[t]) for t in keep}
+    for _ in range(cfg.gnn_num_layers):
+        new_frontier = {t: set() for t in g.node_types}
+        for (src_t, rel, dst_t), ei in g.edge_index.items():
+            mask = np.isin(ei[1], list(frontier[dst_t]))
+            new_frontier[src_t] |= set(ei[0][mask].tolist())
+        for t in keep:
+            keep[t] |= new_frontier[t]
+        frontier = new_frontier
+
+    from kgwas_tpu.graph import HeteroGraph
+
+    sub = HeteroGraph()
+    sub.node_features = dict(g.node_features)  # same index space
+    for et, ei in g.edge_index.items():
+        dst_t = et[2]
+        mask = np.isin(ei[1], list(keep[dst_t]))
+        sub.edge_index[et] = ei[:, mask]
+    sub_cg = compile_graph(sub, edge_pad_multiple=32)
+    sub_pred = np.asarray(
+        apply_hetero_gnn(params, cfg, sub_cg.meta(), sub_cg.arrays())
+    )
+    np.testing.assert_allclose(
+        full_pred[seeds], sub_pred[seeds], rtol=1e-4, atol=1e-5
+    )
