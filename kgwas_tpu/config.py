@@ -35,6 +35,9 @@ class ModelConfig:
     matmul_precision: str = "highest"  # "highest" for parity; "default" lets
                                        # the TPU MXU use fast bf16 passes
     remat: bool = False              # jax.checkpoint each conv layer
+    use_pallas: bool = False         # fused segment-softmax-SpMM kernel for
+                                     # the GAT aggregation (requires heads=1,
+                                     # softmax mode, node_pad_multiple=256)
 
     def to_dict(self):
         return dataclasses.asdict(self)

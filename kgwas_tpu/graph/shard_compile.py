@@ -76,13 +76,18 @@ class CompiledGraph:
         }
 
     def meta(self) -> dict:
-        """Static metadata captured by closure at trace time."""
+        """Static metadata captured by closure at trace time. row_offsets are
+        numpy (jit constants) — the Pallas kernel takes them as scalar-prefetch
+        operands that must not be traced."""
         return {
             "num_nodes": dict(self.num_nodes),
             "padded_nodes": dict(self.padded_nodes),
             "num_edges": {k: r.num_edges for k, r in self.relations.items()},
             "rel_types": {
                 k: (r.src_type, r.rel, r.dst_type) for k, r in self.relations.items()
+            },
+            "row_offsets": {
+                k: r.row_offsets for k, r in self.relations.items()
             },
         }
 

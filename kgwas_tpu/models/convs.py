@@ -69,6 +69,8 @@ def apply_gat(
     dropout_p: float = 0.0,
     dropout_rng=None,
     return_alpha: bool = False,
+    use_pallas: bool = False,
+    row_offsets=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     H, C = heads, out_channels
     e_pad = src.shape[0]
@@ -82,6 +84,28 @@ def apply_gat(
 
     alpha = gather_rows(a_src, src) + gather_rows(a_dst, dst)           # [E, H]
     alpha = leaky_relu(alpha, negative_slope)
+
+    # fused Pallas path: one-pass softmax+aggregate (softmax mode, 1 head,
+    # no dropout, alpha not exported)
+    if (
+        use_pallas
+        and H == 1
+        and not sigmoid_gat
+        and not raw_attention
+        and not (dropout_p > 0.0 and dropout_rng is not None)
+        and not return_alpha
+        and row_offsets is not None
+        and num_dst_segments % 256 == 0
+    ):
+        from ..ops.pallas_segment import fused_segment_softmax_spmm
+
+        interpret = jax.default_backend() != "tpu"  # CPU tests: interpret mode
+        msgs = gather_rows(xs, src)                                     # [E, D]
+        out = fused_segment_softmax_spmm(
+            msgs, alpha[:, 0] / temperature, dst, row_offsets,
+            num_dst_segments, interpret,
+        )
+        return out + params["bias"], None
 
     if sigmoid_gat:
         alpha = jax.nn.sigmoid(alpha / temperature)

@@ -107,6 +107,7 @@ def _apply_relation_conv(
     return_alpha: bool,
     dropout_rng=None,
     training: bool = False,
+    row_offsets=None,
 ):
     src, dst = edges["src"], edges["dst"]
     nd = padded_nodes[dst_t]
@@ -129,6 +130,8 @@ def _apply_relation_conv(
             dropout_p=cfg.dropout if training else 0.0,
             dropout_rng=dropout_rng,
             return_alpha=return_alpha,
+            use_pallas=cfg.use_pallas,
+            row_offsets=row_offsets,
         )
     if cfg.gnn_backbone == "SAGE":
         return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd), None
@@ -173,6 +176,7 @@ def apply_hetero_layer(
     rel_types = meta["rel_types"]
     num_edges = meta["num_edges"]
     padded_nodes = meta["padded_nodes"]
+    row_offsets_all = meta.get("row_offsets", {})
     per_dst: Dict[str, list] = {}
     alphas: Dict[str, jnp.ndarray] = {}
     for rk, rp in layer_params.items():
@@ -193,6 +197,7 @@ def apply_hetero_layer(
             collect_alpha,
             dropout_rng=rng,
             training=training,
+            row_offsets=row_offsets_all.get(rk),
         )
         per_dst.setdefault(dst_t, []).append(out)
         if collect_alpha and alpha is not None:
