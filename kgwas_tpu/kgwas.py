@@ -9,7 +9,6 @@ attention-based interpretation.
 from __future__ import annotations
 
 import os
-import time
 from typing import Optional
 
 import numpy as np
@@ -157,10 +156,16 @@ class KGWAS:
         save_name: Optional[str] = None,
         shuffle: bool = False,
         log_interval: int = 500,
+        profile_dir: Optional[str] = None,
+        metrics_log: Optional[str] = None,
     ):
-        """Training defaults mirror reference kgwas/kgwas.py:85-87."""
+        """Training defaults mirror reference kgwas/kgwas.py:85-87.
+        profile_dir captures a jax.profiler trace of epoch 1; metrics_log
+        appends per-epoch JSONL records (edges/s, epoch time, val metrics)."""
         import jax
         import jax.numpy as jnp
+
+        from .engine.profiling import ThroughputMeter, profile_trace
 
         total_epoch = epoch
         if save_name is None:
@@ -189,42 +194,50 @@ class KGWAS:
         best_epoch = 0
         shuffle_rng = np.random.default_rng(self.seed)
 
+        edges_per_step = cg.total_real_edges() * self.model_cfg.gnn_num_layers
+        meter = ThroughputMeter(edges_per_step, log_path=metrics_log)
+
         print_sys("Start Training...")
         self.train_history = []
         for ep in range(total_epoch):
             batches = epoch_batches(train_ids, batch_size, shuffle, shuffle_rng)
-            t0 = time.time()
             last_loss = float("nan")
-            for step, bidx in enumerate(batches):
-                params, opt_state, loss = train_step(
-                    params, opt_state, arrays, jnp.asarray(bidx), y_node, w_node
-                )
-                if self.wandb:
-                    self.wandb.log({"training_loss": float(loss)})
-                if (step % log_interval == 0) and (step >= log_interval):
-                    print_sys(
-                        f"Epoch {ep + 1} Step {step + 1} Train Loss: {float(loss):.4f}"
+            meter.start_epoch()
+            with profile_trace(profile_dir if ep == 0 else None):
+                for step, bidx in enumerate(batches):
+                    params, opt_state, loss = train_step(
+                        params, opt_state, arrays, jnp.asarray(bidx), y_node,
+                        w_node,
                     )
-                last_loss = loss
-            epoch_time = time.time() - t0
+                    meter.step()
+                    if self.wandb:
+                        self.wandb.log({"training_loss": float(loss)})
+                    if (step % log_interval == 0) and (step >= log_interval):
+                        print_sys(
+                            f"Epoch {ep + 1} Step {step + 1} "
+                            f"Train Loss: {float(loss):.4f}"
+                        )
+                    last_loss = loss
+                jax.block_until_ready(last_loss)
 
             pred_all = np.asarray(forward(params, arrays))
             val_metrics = compute_metrics(
                 {"pred": pred_all[val_ids], "truth": np.asarray(y_node)[val_ids]}
             )
+            rec = meter.end_epoch(
+                ep + 1,
+                extra={
+                    "loss": float(last_loss),
+                    **{f"val_{k}": v for k, v in val_metrics.items()},
+                },
+            )
             print_sys(
                 f"Epoch {ep + 1}: Validation MSE: {val_metrics['mse']:.4f} "
                 f"Validation Pearson: {val_metrics['pearsonr']:.4f}. "
-                f"({len(batches)} steps, {epoch_time:.2f}s)"
+                f"({rec['steps']} steps, {rec['epoch_time_s']:.2f}s, "
+                f"{rec['edges_per_sec']:.3g} edge-traversals/s)"
             )
-            self.train_history.append(
-                {
-                    "epoch": ep + 1,
-                    "loss": float(last_loss),
-                    "epoch_time_s": epoch_time,
-                    **{f"val_{k}": v for k, v in val_metrics.items()},
-                }
-            )
+            self.train_history.append(rec)
             if self.wandb:
                 for k, v in val_metrics.items():
                     self.wandb.log({"val_" + k: v})

@@ -96,6 +96,7 @@ def apply_gat(
         and not return_alpha
         and row_offsets is not None
         and num_dst_segments % 256 == 0
+        and (H * C) % 128 == 0  # Mosaic lane alignment
     ):
         from ..ops.pallas_segment import fused_segment_softmax_spmm
 

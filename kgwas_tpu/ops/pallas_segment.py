@@ -2,29 +2,33 @@
 
 This is the speed-of-light replacement for the XLA composite in
 ops/segment.py (itself the replacement for torch_scatter CUDA kernels,
-reference kgwas/conv.py:223,227-228). The XLA path materializes the softmax
+reference kgwas/conv.py:223,227-228). The XLA path materializes softmax
 intermediates and runs separate scatter kernels; this kernel makes ONE pass
 over the destination-sorted edge stream per phase:
 
-  phase 1 (per dst tile): running max of logits per row
+  phase 1 (per dst-row tile): running max of logits per row
   phase 2: exp/accumulate numerator (one-hot MXU matmul onto the row tile)
            and denominator, then normalize
 
 HBM traffic ~= read(msgs) + 2*read(logits) + write(out): the roofline for
-this op. Layout contract (from graph/shard_compile.py):
-  * edges destination-sorted; CSR row_offsets over padded dst rows
-  * msgs [E_pad, D]: source features gathered to edge order (XLA gather —
-    its transpose-scatter in backward stays on XLA)
-  * logits [E_pad]: pre-softmax attention (pad edges MUST carry finite
-    values; they only land in the trash row)
+this op.
 
-The custom VJP recomputes alpha from saved (row_max, row_sum) residuals in a
-second kernel — same one-pass structure, no [E] softmax array ever hits HBM.
+TPU layout constraints honored here (Mosaic requires 128-lane-aligned
+slices):
+  * feature dim D must be a multiple of 128 (hidden=128 default)
+  * logits/dst are stored as [E_pad/128, 128] so chunk DMAs slice whole
+    lane-rows; chunk starts are rounded down to 128-edge boundaries and
+    out-of-tile edges are masked via the dst one-hot
+  * the backward writes edge-gradient chunks with read-modify-write merges:
+    the sequential TPU grid makes the previous tile's trailing writes visible,
+    so overlapping 128-edge boundary regions combine correctly
+
+Custom VJP recomputes alpha from saved (row_max, row_sum) residuals — no [E]
+softmax array ever hits HBM.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,93 +38,87 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e9
 EPS = 1e-16
+EXP_CLAMP = 60.0  # exp arg clamp: out-of-tile lanes would overflow otherwise
 
-# tile sizes: BN dst rows per program, BE edges per inner chunk
-BN = 256
-BE = 512
+LANE = 128
+BN = 256   # dst rows per program
+BE = 512   # edges per inner chunk (multiple of LANE)
+BR = BE // LANE
 
 
-def _num_chunks(off_ref, i):
+def _tile_range(off_ref, i):
     start = off_ref[i * BN]
     end = off_ref[(i + 1) * BN]
-    return start, end, pl.cdiv(end - start, BE)
+    start_al = (start // LANE) * LANE
+    return start, end, start_al, pl.cdiv(end - start_al, BE)
+
+
+def _onehot_for_chunk(dst_vmem, row_base):
+    """dst chunk [BR, LANE] -> bool one-hot [BE, BN] vs this tile's rows."""
+    local = dst_vmem[:, :].reshape(BE, 1) - row_base
+    return local == jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
 
 
 def _fwd_kernel(
     off_ref,          # scalar prefetch: row offsets [N_pad + 1] (SMEM)
     msgs_ref,         # [E_pad, D] HBM
-    logits_ref,       # [E_pad] HBM (as [E_pad, 1])
-    dst_ref,          # [E_pad] HBM (as [E_pad, 1])
-    out_ref,          # [BN, D] VMEM (block over grid)
-    max_ref,          # [BN] VMEM block of row_max output
-    sum_ref,          # [BN] VMEM block of row_sum output
+    logits_ref,       # [E_pad/LANE, LANE] HBM
+    dst_ref,          # [E_pad/LANE, LANE] HBM (int32)
+    out_ref,          # [BN, D] VMEM block
+    max_ref,          # [BN] VMEM block
+    sum_ref,          # [BN] VMEM block
     msgs_vmem,        # scratch [BE, D]
-    logits_vmem,      # scratch [BE, 1]
-    dst_vmem,         # scratch [BE, 1] (int32)
+    logits_vmem,      # scratch [BR, LANE]
+    dst_vmem,         # scratch [BR, LANE] int32
     sems,             # DMA semaphores (3,)
 ):
     i = pl.program_id(0)
-    start, end, nchunks = _num_chunks(off_ref, i)
+    start, end, start_al, nchunks = _tile_range(off_ref, i)
     row_base = i * BN
 
     def load_chunk(c):
-        s = start + c * BE
+        s = start_al + c * BE
+        r = s // LANE
         cp1 = pltpu.make_async_copy(
             msgs_ref.at[pl.ds(s, BE), :], msgs_vmem, sems.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            logits_ref.at[pl.ds(s, BE), :], logits_vmem, sems.at[1]
+            logits_ref.at[pl.ds(r, BR), :], logits_vmem, sems.at[1]
         )
         cp3 = pltpu.make_async_copy(
-            dst_ref.at[pl.ds(s, BE), :], dst_vmem, sems.at[2]
+            dst_ref.at[pl.ds(r, BR), :], dst_vmem, sems.at[2]
         )
         cp1.start(); cp2.start(); cp3.start()
         cp1.wait(); cp2.wait(); cp3.wait()
 
-    def edge_validity(c):
-        # edges beyond this tile's range are garbage from the padded DMA
-        s = start + c * BE
-        eidx = jax.lax.broadcasted_iota(jnp.int32, (BE, 1), 0) + s
-        return eidx < end
-
-    # ---- phase 1: per-row max of logits ----
+    # ---- phase 1: per-row max ----
     def max_body(c, row_max):
         load_chunk(c)
-        valid = edge_validity(c)
-        lg = jnp.where(valid, logits_vmem[:, :], NEG_BIG)          # [BE, 1]
-        local_rows = dst_vmem[:, :] - row_base                      # [BE, 1]
-        onehot = (
-            local_rows == jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
-        )                                                           # [BE, BN]
-        contrib = jnp.where(onehot, lg, NEG_BIG)                    # [BE, BN]
-        return jnp.maximum(row_max, jnp.max(contrib, axis=0))       # [BN]
+        onehot = _onehot_for_chunk(dst_vmem, row_base)              # [BE, BN]
+        lg = logits_vmem[:, :].reshape(BE, 1)
+        contrib = jnp.where(onehot, lg, NEG_BIG)
+        return jnp.maximum(row_max, jnp.max(contrib, axis=0))
 
     row_max = jax.lax.fori_loop(
         0, nchunks, max_body, jnp.full((BN,), NEG_BIG, dtype=jnp.float32)
     )
-    row_max = jnp.maximum(row_max, NEG_BIG)
 
     # ---- phase 2: accumulate numerator / denominator ----
     def acc_body(c, carry):
         acc, row_sum = carry
         load_chunk(c)
-        valid = edge_validity(c)
-        local_rows = dst_vmem[:, :] - row_base
-        onehot = (
-            local_rows == jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
-        )
+        onehot = _onehot_for_chunk(dst_vmem, row_base)
+        in_tile = onehot.any(axis=1, keepdims=True)                  # [BE, 1]
+        lg = logits_vmem[:, :].reshape(BE, 1)
         m_e = jnp.max(jnp.where(onehot, row_max[None, :], NEG_BIG), axis=1,
-                      keepdims=True)                                # [BE, 1]
-        p = jnp.where(valid, jnp.exp(logits_vmem[:, :] - m_e), 0.0)  # [BE, 1]
-        p = jnp.where(onehot.any(axis=1, keepdims=True), p, 0.0)
-        row_sum = row_sum + jnp.sum(
-            jnp.where(onehot, p, 0.0), axis=0
-        )                                                            # [BN]
-        weighted = msgs_vmem[:, :] * p                               # [BE, D]
+                      keepdims=True)
+        p = jnp.exp(jnp.minimum(lg - m_e, EXP_CLAMP))
+        p = jnp.where(in_tile, p, 0.0)                               # [BE, 1]
+        row_sum = row_sum + jnp.sum(jnp.where(onehot, p, 0.0), axis=0)
         acc = acc + jax.lax.dot_general(
             onehot.astype(jnp.float32),
-            weighted,
-            dimension_numbers=(((0,), (0,)), ((), ())),              # [BN, D]
+            msgs_vmem[:, :] * p,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc, row_sum
@@ -140,19 +138,22 @@ def _fwd_kernel(
 
 
 def _pad_edges(msgs, logits, dst, n_rows):
-    """Pad the edge axis so every chunk DMA of size BE is in-bounds."""
+    """Pad edges so any chunk DMA stays in-bounds; reshape logits/dst to
+    lane-rows. Pad dst = n_rows (outside every tile's row range)."""
     e = msgs.shape[0]
     e_pad = ((e + BE - 1) // BE) * BE + BE
     pad = e_pad - e
     msgs = jnp.pad(msgs, ((0, pad), (0, 0)))
     logits = jnp.pad(logits, ((0, pad),), constant_values=0.0)
-    dst = jnp.pad(dst, ((0, pad),), constant_values=n_rows)  # out-of-tile row
-    return msgs, logits, dst
+    dst = jnp.pad(dst, ((0, pad),), constant_values=n_rows)
+    return msgs, logits.reshape(-1, LANE), dst.reshape(-1, LANE)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
 def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
     d = msgs.shape[1]
+    assert d % LANE == 0, f"feature dim {d} must be a multiple of {LANE}"
+    assert n_rows % BN == 0, f"n_rows {n_rows} must be a multiple of {BN}"
     n_tiles = n_rows // BN
     msgs_p, logits_p, dst_p = _pad_edges(msgs, logits, dst, n_rows)
 
@@ -172,8 +173,8 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BE, 1), jnp.float32),
-            pltpu.VMEM((BE, 1), jnp.int32),
+            pltpu.VMEM((BR, LANE), jnp.float32),
+            pltpu.VMEM((BR, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -186,63 +187,68 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
             jax.ShapeDtypeStruct((n_rows,), jnp.float32),
         ],
         interpret=interpret,
-    )(row_offsets, msgs_p, logits_p.reshape(-1, 1), dst_p.reshape(-1, 1))
+    )(row_offsets, msgs_p, logits_p, dst_p)
     return out, row_max, row_sum
 
 
 def _bwd_kernel(
     off_ref,
-    msgs_ref,
-    logits_ref,
-    dst_ref,
-    rmax_ref,        # [BN] VMEM block
-    rsum_ref,        # [BN] VMEM block
-    out_ref,         # [BN, D] VMEM block (primal output)
-    g_ref,           # [BN, D] VMEM block (cotangent)
-    dmsgs_ref,       # [E_pad, D] HBM output
-    dlogits_ref,     # [E_pad, 1] HBM output
+    msgs_ref,         # [E_pad, D] HBM
+    logits_ref,       # [E_pad/LANE, LANE] HBM
+    dst_ref,          # [E_pad/LANE, LANE] HBM
+    rmax_ref,         # [BN] VMEM block
+    rsum_ref,         # [BN] VMEM block
+    out_ref,          # [BN, D] VMEM block (primal output)
+    g_ref,            # [BN, D] VMEM block (cotangent)
+    dmsgs_ref,        # [E_pad, D] HBM output
+    dlogits_ref,      # [E_pad/LANE, LANE] HBM output
     msgs_vmem,
     logits_vmem,
     dst_vmem,
     dmsgs_vmem,
+    dmsgs_old,
     dlogits_vmem,
+    dlogits_old,
     sems,
 ):
     i = pl.program_id(0)
-    start, end, nchunks = _num_chunks(off_ref, i)
+    start, end, start_al, nchunks = _tile_range(off_ref, i)
     row_base = i * BN
 
-    # per-row precomputation: dot_r = out_r . g_r
     dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)  # [BN]
     inv_sum = 1.0 / (rsum_ref[:] + EPS)                   # [BN]
 
     def body(c, _):
-        s = start + c * BE
+        s = start_al + c * BE
+        r = s // LANE
         cp1 = pltpu.make_async_copy(msgs_ref.at[pl.ds(s, BE), :], msgs_vmem,
                                     sems.at[0])
-        cp2 = pltpu.make_async_copy(logits_ref.at[pl.ds(s, BE), :], logits_vmem,
-                                    sems.at[1])
-        cp3 = pltpu.make_async_copy(dst_ref.at[pl.ds(s, BE), :], dst_vmem,
+        cp2 = pltpu.make_async_copy(logits_ref.at[pl.ds(r, BR), :],
+                                    logits_vmem, sems.at[1])
+        cp3 = pltpu.make_async_copy(dst_ref.at[pl.ds(r, BR), :], dst_vmem,
                                     sems.at[2])
-        cp1.start(); cp2.start(); cp3.start()
-        cp1.wait(); cp2.wait(); cp3.wait()
+        # read current grads for merge (previous tile's trailing writes —
+        # the sequential grid guarantees they landed already)
+        cp6 = pltpu.make_async_copy(dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old,
+                                    sems.at[3])
+        cp7 = pltpu.make_async_copy(dlogits_ref.at[pl.ds(r, BR), :],
+                                    dlogits_old, sems.at[4])
+        cp1.start(); cp2.start(); cp3.start(); cp6.start(); cp7.start()
+        cp1.wait(); cp2.wait(); cp3.wait(); cp6.wait(); cp7.wait()
 
-        eidx = jax.lax.broadcasted_iota(jnp.int32, (BE, 1), 0) + s
-        valid = eidx < end
-        local_rows = dst_vmem[:, :] - row_base
-        onehot = (
-            local_rows == jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
-        )
+        onehot = _onehot_for_chunk(dst_vmem, row_base)
+        in_tile = onehot.any(axis=1, keepdims=True)
         ohf = onehot.astype(jnp.float32)
+        lg = logits_vmem[:, :].reshape(BE, 1)
         m_e = jnp.max(jnp.where(onehot, rmax_ref[:][None, :], NEG_BIG), axis=1,
                       keepdims=True)
         inv_e = jax.lax.dot_general(
             ohf, inv_sum[:, None],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # [BE, 1]
-        p = jnp.where(valid, jnp.exp(logits_vmem[:, :] - m_e) * inv_e, 0.0)
-        p = jnp.where(onehot.any(axis=1, keepdims=True), p, 0.0)
+        )
+        p = jnp.exp(jnp.minimum(lg - m_e, EXP_CLAMP)) * inv_e
+        p = jnp.where(in_tile, p, 0.0)
 
         g_e = jax.lax.dot_general(
             ohf, g_ref[:, :],
@@ -255,14 +261,21 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )                                                  # [BE, 1]
 
-        dmsgs_vmem[:, :] = p * g_e
+        new_dmsgs = p * g_e
         msg_dot_g = jnp.sum(msgs_vmem[:, :] * g_e, axis=1, keepdims=True)
-        dlogits_vmem[:, :] = p * (msg_dot_g - dot_e)
+        new_dlog = p * (msg_dot_g - dot_e)
+
+        # merge: keep previous values for out-of-tile lanes
+        dmsgs_vmem[:, :] = jnp.where(in_tile, new_dmsgs, dmsgs_old[:, :])
+        dlogits_vmem[:, :] = jnp.where(
+            in_tile.reshape(BR, LANE), new_dlog.reshape(BR, LANE),
+            dlogits_old[:, :],
+        )
 
         cp4 = pltpu.make_async_copy(dmsgs_vmem, dmsgs_ref.at[pl.ds(s, BE), :],
                                     sems.at[0])
         cp5 = pltpu.make_async_copy(dlogits_vmem,
-                                    dlogits_ref.at[pl.ds(s, BE), :], sems.at[1])
+                                    dlogits_ref.at[pl.ds(r, BR), :], sems.at[1])
         cp4.start(); cp5.start()
         cp4.wait(); cp5.wait()
         return 0
@@ -298,11 +311,13 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BE, 1), jnp.float32),
-            pltpu.VMEM((BE, 1), jnp.int32),
+            pltpu.VMEM((BR, LANE), jnp.float32),
+            pltpu.VMEM((BR, LANE), jnp.int32),
             pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BE, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((BE, d), jnp.float32),
+            pltpu.VMEM((BR, LANE), jnp.float32),
+            pltpu.VMEM((BR, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
     )
     dmsgs, dlogits = pl.pallas_call(
@@ -310,22 +325,22 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((e_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad // LANE, LANE), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         row_offsets,
         msgs_p,
-        logits_p.reshape(-1, 1),
-        dst_p.reshape(-1, 1),
+        logits_p,
+        dst_p,
         row_max,
         row_sum,
         out,
         g,
     )
     e = msgs.shape[0]
-    return dmsgs[:e], dlogits[:e, 0]
+    return dmsgs[:e], dlogits.reshape(-1)[:e]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -333,8 +348,9 @@ def fused_segment_softmax_spmm(msgs, logits, dst, row_offsets_np, n_rows,
                                interpret=False):
     """out[r] = sum_{e: dst[e]=r} softmax_r(logits)[e] * msgs[e].
 
-    msgs [E, D] float32 (edge-ordered, dst-sorted), logits [E] float32,
-    dst [E] int32 ascending. row_offsets_np: NUMPY int32 [n_rows+1] (static).
+    msgs [E, D] float32 (edge-ordered, dst-sorted, D % 128 == 0),
+    logits [E] float32, dst [E] int32 ascending.
+    row_offsets_np: NUMPY int32 [n_rows+1] (static, scalar-prefetched).
     n_rows must be a multiple of 256 (BN).
     """
     out, _, _ = _fused_forward(

@@ -1,0 +1,116 @@
+"""Multi-trait / multi-seed sweep driver (the reference's subsampling and
+simulation suites — 21 traits x 8 sizes x 5 seeds, 500 simulation seeds —
+reference README.md:77-78, kgwas_data.py:275-294,367-389).
+
+Sweep jobs are embarrassingly parallel at the experiment level. This driver
+shards the job list across hosts (jax.process_index/process_count under
+multi-host, or --host-index/--num-hosts for manual launching) and runs each
+job as a full training run, writing one result JSON per job so reruns resume.
+"""
+import argparse
+import itertools
+import json
+import os
+
+
+def job_list(args):
+    if args.mode == "simulation":
+        seeds = range(args.seed_start, args.seed_end)
+        return [("simulation", args.simulation_type, s) for s in seeds]
+    combos = itertools.product(
+        args.phenos, args.sample_sizes, range(args.seed_start, args.seed_end)
+    )
+    return [("subsample", p, n, s) for p, n, s in combos]
+
+
+def run_job(job, args):
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    data = KGWAS_Data(data_path=args.data_path)
+    data.load_kg(
+        snp_init_emb=args.snp_emb,
+        go_init_emb=args.go_emb,
+        gene_init_emb=args.gene_emb,
+        sample_edges=args.sample_edges,
+        sample_ratio=args.sample_ratio,
+    )
+    if job[0] == "simulation":
+        _, sim_type, seed = job
+        data.load_simulation_gwas(sim_type, seed)
+        name = f"sim_{sim_type}_{seed}"
+    else:
+        _, pheno, n, seed = job
+        data.load_gwas_subsample(pheno, n, seed)
+        name = f"{pheno}_{n}_{seed}"
+    data.process_gwas_file()
+    data.prepare_split()
+    run = KGWAS(data, exp_name=name, seed=job[-1])
+    run.initialize_model(
+        gnn_num_layers=args.layers, gnn_hidden_dim=args.hidden
+    )
+    res = run.train(epoch=args.epochs, batch_size=args.batch_size,
+                    save_best_model=False)
+    return {
+        "job": list(job),
+        "gwas_hits_5e8": int((res.P < 5e-8).sum()),
+        "kgwas_hits_5e8": int((res.KGWAS_P < 5e-8).sum()),
+        "test_metrics": run.test_metrics,
+        "scale_factor": run.scale_factor,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-path", default="./data/")
+    ap.add_argument("--out-dir", default="./sweep_results/")
+    ap.add_argument("--mode", choices=["simulation", "subsample"],
+                    default="simulation")
+    ap.add_argument("--simulation-type", default="null")
+    ap.add_argument("--phenos", nargs="+", default=["biochemistry_Creatinine"])
+    ap.add_argument("--sample-sizes", type=int, nargs="+", default=[5000])
+    ap.add_argument("--seed-start", type=int, default=1)
+    ap.add_argument("--seed-end", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--snp-emb", default="enformer")
+    ap.add_argument("--go-emb", default="random")
+    ap.add_argument("--gene-emb", default="esm")
+    ap.add_argument("--sample-edges", action="store_true")
+    ap.add_argument("--sample-ratio", type=float, default=1.0)
+    ap.add_argument("--host-index", type=int, default=None)
+    ap.add_argument("--num-hosts", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.host_index is None:
+        try:
+            import jax
+
+            host_index = jax.process_index()
+            num_hosts = jax.process_count()
+        except Exception:
+            host_index, num_hosts = 0, 1
+    else:
+        host_index, num_hosts = args.host_index, args.num_hosts or 1
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    jobs = job_list(args)
+    my_jobs = jobs[host_index::num_hosts]
+    print(f"[sweep] host {host_index}/{num_hosts}: {len(my_jobs)} of "
+          f"{len(jobs)} jobs")
+
+    for job in my_jobs:
+        tag = "_".join(str(x) for x in job)
+        out_path = os.path.join(args.out_dir, tag + ".json")
+        if os.path.exists(out_path):
+            print(f"[sweep] {tag}: already done, skipping")
+            continue
+        result = run_job(job, args)
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"[sweep] {tag}: {result}")
+
+
+if __name__ == "__main__":
+    main()
