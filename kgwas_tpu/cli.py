@@ -1,0 +1,228 @@
+"""kgwas-tpu command-line interface.
+
+The reference library has no CLI (SURVEY.md section 1: only the offline
+gwas/classic_gwas_eval.py argparse driver). This CLI exposes the full
+workflow: train, predict, interpret, magma, classic-gwas, bench.
+
+    python -m kgwas_tpu.cli train --data-path ./data --gwas sumstats.fastGWA
+    python -m kgwas_tpu.cli interpret --data-path ./data --model-name exp
+    python -m kgwas_tpu.cli classic-gwas --engine auto --bfile ... --pheno ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_data_args(p):
+    p.add_argument("--data-path", default="./data/")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--snp-emb", default="enformer")
+    p.add_argument("--go-emb", default="random")
+    p.add_argument("--gene-emb", default="esm")
+    p.add_argument("--sample-edges", action="store_true")
+    p.add_argument("--sample-ratio", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _load_data(args, need_gwas=True):
+    from kgwas_tpu import KGWAS_Data
+
+    if args.synthetic:
+        data = KGWAS_Data.from_synthetic(
+            n_snp=2000, n_gene=400, n_go=150, seed=args.seed,
+            data_path=args.data_path,
+        )
+        if need_gwas:
+            data.load_synthetic_gwas(seed=args.seed)
+    else:
+        data = KGWAS_Data(data_path=args.data_path)
+        data.load_kg(
+            snp_init_emb=args.snp_emb,
+            go_init_emb=args.go_emb,
+            gene_init_emb=args.gene_emb,
+            sample_edges=args.sample_edges,
+            sample_ratio=args.sample_ratio,
+        )
+        if need_gwas:
+            if getattr(args, "gwas", None):
+                data.load_external_gwas(path=args.gwas, seed=args.seed)
+            else:
+                data.load_external_gwas(example_file=True, seed=args.seed)
+    if need_gwas:
+        data.process_gwas_file()
+        data.prepare_split()
+    return data
+
+
+def cmd_train(args):
+    from kgwas_tpu import KGWAS
+
+    data = _load_data(args)
+    run = KGWAS(data, exp_name=args.name, seed=args.seed,
+                weight_bias_track=args.wandb)
+    run.initialize_model(
+        gnn_num_layers=args.layers,
+        gnn_hidden_dim=args.hidden,
+        gnn_backbone=args.backbone,
+        gnn_aggr=args.aggr,
+        gat_num_head=args.heads,
+        compute_dtype=args.dtype,
+        use_pallas=args.pallas,
+        remat=args.remat,
+        matmul_precision="default" if args.dtype == "bfloat16" else "highest",
+    )
+    res = run.train(
+        batch_size=args.batch_size,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        epoch=args.epochs,
+        profile_dir=args.profile_dir,
+        metrics_log=args.metrics_log,
+    )
+    print(res[["ID", "P", "pred", "KGWAS_P"]].head())
+    print(json.dumps({"test_metrics": run.test_metrics,
+                      "scale_factor": run.scale_factor}))
+
+
+def cmd_predict(args):
+    from kgwas_tpu import KGWAS
+
+    data = _load_data(args, need_gwas=False)
+    run = KGWAS(data, exp_name=args.name)
+    run.load_pretrained(os.path.join(args.data_path, "model", args.name))
+    pred = run.predict_all()
+    import numpy as np
+
+    out = args.out or "predictions.npy"
+    np.save(out, pred)
+    print(f"saved {len(pred)} per-SNP predictions to {out}")
+
+
+def cmd_interpret(args):
+    from kgwas_tpu import KGWAS
+
+    data = _load_data(args)
+    run = KGWAS(data, exp_name=args.name)
+    run.load_pretrained(os.path.join(args.data_path, "model", args.name))
+    net, variants, dcn = run.get_disease_critical_network(
+        variant_threshold=args.variant_threshold,
+        magma_path=args.magma_results,
+        num_cpus=args.num_cpus,
+    )
+    dcn.to_csv(args.out, index=False)
+    print(f"disease critical network ({len(dcn)} rows) -> {args.out}")
+
+
+def cmd_magma(args):
+    from kgwas_tpu import KGWAS
+
+    data = _load_data(args, need_gwas=False)
+    run = KGWAS(data, exp_name=args.name)
+    run.load_pretrained(os.path.join(args.data_path, "model", args.name))
+    run.run_magma(args.magma_bin, args.bfile)
+
+
+def cmd_classic_gwas(args):
+    from kgwas_tpu.external.gwas_runner import GwasToolConfig, run_classic_gwas
+
+    cfg = GwasToolConfig(
+        bfile=args.bfile,
+        result_dir=args.result_dir,
+        covar_file=args.covar,
+        grm_sparse=args.grm,
+        plink2_bin=args.plink2_bin,
+        gcta_bin=args.gcta_bin,
+        threads=args.threads,
+    )
+    df = run_classic_gwas(cfg, args.pheno, args.name, args.sample_size,
+                          binary=args.binary)
+    out = os.path.join(args.result_dir, args.name + ".sumstats.tsv")
+    df.to_csv(out, sep="\t", index=False)
+    print(f"sumstats ({len(df)} SNPs) -> {out}")
+
+
+def cmd_bench(args):
+    os.environ.setdefault("BENCH_STEPS", str(args.steps))
+    sys.argv = ["bench.py"]
+    import runpy
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kgwas-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train KGWAS and emit KGWAS_P sumstats")
+    _add_data_args(t)
+    t.add_argument("--gwas", help="path to GWAS sumstats (.fastGWA etc.)")
+    t.add_argument("--name", default="KGWAS")
+    t.add_argument("--layers", type=int, default=2)
+    t.add_argument("--hidden", type=int, default=128)
+    t.add_argument("--backbone", default="GAT",
+                   choices=["GAT", "SAGE", "GCN", "SGC"])
+    t.add_argument("--aggr", default="sum")
+    t.add_argument("--heads", type=int, default=1)
+    t.add_argument("--epochs", type=int, default=10)
+    t.add_argument("--batch-size", type=int, default=512)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--weight-decay", type=float, default=5e-4)
+    t.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    t.add_argument("--pallas", action="store_true")
+    t.add_argument("--remat", action="store_true")
+    t.add_argument("--wandb", action="store_true")
+    t.add_argument("--profile-dir")
+    t.add_argument("--metrics-log")
+    t.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict", help="per-SNP predictions from a checkpoint")
+    _add_data_args(p)
+    p.add_argument("--name", default="KGWAS")
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_predict)
+
+    i = sub.add_parser("interpret", help="disease critical network")
+    _add_data_args(i)
+    i.add_argument("--name", default="KGWAS")
+    i.add_argument("--variant-threshold", type=float, default=5e-8)
+    i.add_argument("--magma-results")
+    i.add_argument("--num-cpus", type=int, default=1)
+    i.add_argument("--out", default="disease_critical_network.csv")
+    i.set_defaults(fn=cmd_interpret)
+
+    m = sub.add_parser("magma", help="MAGMA gene analysis on KGWAS output")
+    _add_data_args(m)
+    m.add_argument("--name", default="KGWAS")
+    m.add_argument("--magma-bin", required=True)
+    m.add_argument("--bfile", required=True)
+    m.set_defaults(fn=cmd_magma)
+
+    c = sub.add_parser("classic-gwas", help="run PLINK2/fastGWA upstream GWAS")
+    c.add_argument("--bfile", required=True)
+    c.add_argument("--pheno", required=True)
+    c.add_argument("--name", default="gwas")
+    c.add_argument("--result-dir", default="./gwas_results/")
+    c.add_argument("--covar")
+    c.add_argument("--grm")
+    c.add_argument("--sample-size", type=int, required=True)
+    c.add_argument("--binary", action="store_true")
+    c.add_argument("--plink2-bin", default="plink2")
+    c.add_argument("--gcta-bin", default="gcta64")
+    c.add_argument("--threads", type=int, default=20)
+    c.set_defaults(fn=cmd_classic_gwas)
+
+    b = sub.add_parser("bench", help="one-chip throughput benchmark")
+    b.add_argument("--steps", type=int, default=20)
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,64 @@ def load_model(path_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Orbax async checkpointing (restartable long runs; the reference's only
+# resume story is "rerun from scratch" — SURVEY.md section 5)
+# ---------------------------------------------------------------------------
+
+def make_async_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+
+def save_train_state_async(checkpointer, path_dir: str, step: int, params,
+                           opt_state):
+    """Non-blocking save of (params, opt_state) for mid-training restart.
+    Call checkpointer.wait_until_finished() before process exit."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(path_dir), f"step_{step}")
+    checkpointer.save(
+        path, args=ocp.args.StandardSave({"params": params,
+                                          "opt_state": opt_state}),
+        force=True,
+    )
+    return path
+
+
+def restore_train_state(path: str, params_template=None, opt_state_template=None):
+    """Restore (params, opt_state). Pass templates to recover the exact pytree
+    structure (optax states are NamedTuples that orbax can't reconstruct from
+    the serialized tree alone)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    if params_template is not None and opt_state_template is not None:
+        template = jax.tree_util.tree_map(
+            np.asarray, {"params": params_template,
+                         "opt_state": opt_state_template}
+        )
+        out = ckpt.restore(os.path.abspath(path), template)
+    else:
+        out = ckpt.restore(os.path.abspath(path))
+    return out["params"], out["opt_state"]
+
+
+def latest_train_state(path_dir: str):
+    if not os.path.isdir(path_dir):
+        return None
+    steps = [
+        int(d.split("_")[1])
+        for d in os.listdir(path_dir)
+        if d.startswith("step_") and d.split("_")[1].isdigit()
+    ]
+    if not steps:
+        return None
+    return os.path.join(path_dir, f"step_{max(steps)}")
+
+
+# ---------------------------------------------------------------------------
 # Reference (PyTorch) checkpoint import
 # ---------------------------------------------------------------------------
 

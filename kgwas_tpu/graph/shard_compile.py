@@ -97,18 +97,22 @@ def compile_graph(
     edge_pad_multiple: int = 512,
     node_pad_multiple: int = 8,
     build_csr: bool = True,
+    feature_dtype=np.float32,
 ) -> CompiledGraph:
+    """feature_dtype: storage dtype for node features. ml_dtypes.bfloat16
+    halves HBM for giant embedding tables (pops 57k-dim, reference
+    kgwas_data.py:244); the encoder matmul upcasts per ModelConfig."""
     g.validate()
     num_nodes = {t: g.num_nodes(t) for t in g.node_types}
     padded_nodes = {t: round_up(n + 1, node_pad_multiple) for t, n in num_nodes.items()}
 
     node_x = {}
     for t in g.node_types:
-        x = np.asarray(g.node_features[t], dtype=np.float32)
+        x = np.asarray(g.node_features[t], dtype=feature_dtype)
         n_pad = padded_nodes[t]
         if n_pad > x.shape[0]:
             x = np.concatenate(
-                [x, np.zeros((n_pad - x.shape[0], x.shape[1]), dtype=np.float32)], axis=0
+                [x, np.zeros((n_pad - x.shape[0], x.shape[1]), dtype=x.dtype)], axis=0
             )
         node_x[t] = x
 

@@ -138,9 +138,10 @@ class KGWAS:
         if y_lbl is not None:
             y_node[: len(y_lbl)] = y_lbl
 
+        # LDSC weights are only present after process_gwas_file; inference-only
+        # sessions (predict from a checkpoint) don't need them
         w_node = np.zeros(n_pad, dtype=np.float32)
-        idx2id = self.data.idx2id["SNP"]
-        for rs, w in self.data.rs_id_to_ldsc_weight.items():
+        for rs, w in getattr(self.data, "rs_id_to_ldsc_weight", {}).items():
             w_node[self.data.id2idx["SNP"][rs]] = w
 
         return cg, arrays, jnp.asarray(y_node), jnp.asarray(w_node)
@@ -158,10 +159,14 @@ class KGWAS:
         log_interval: int = 500,
         profile_dir: Optional[str] = None,
         metrics_log: Optional[str] = None,
+        checkpoint_every: Optional[int] = None,
+        resume: bool = False,
     ):
         """Training defaults mirror reference kgwas/kgwas.py:85-87.
         profile_dir captures a jax.profiler trace of epoch 1; metrics_log
-        appends per-epoch JSONL records (edges/s, epoch time, val metrics)."""
+        appends per-epoch JSONL records (edges/s, epoch time, val metrics).
+        checkpoint_every=N saves (params, opt_state) asynchronously via orbax
+        every N steps; resume=True restores the latest such state."""
         import jax
         import jax.numpy as jnp
 
@@ -180,6 +185,23 @@ class KGWAS:
 
         optimizer = build_optimizer(lr, weight_decay)
         opt_state = optimizer.init(self.params)
+
+        ckpt_dir = os.path.join(self.data_path, "model", save_name, "train_state")
+        checkpointer = None
+        if checkpoint_every:
+            from .engine.checkpoint import make_async_checkpointer
+
+            checkpointer = make_async_checkpointer()
+        if resume:
+            from .engine.checkpoint import latest_train_state, restore_train_state
+
+            latest = latest_train_state(ckpt_dir)
+            if latest:
+                print_sys(f"Resuming train state from {latest}")
+                self.params, opt_state = restore_train_state(
+                    latest, self.params, opt_state
+                )
+
         train_step = make_train_step(self.model_cfg, self.meta, optimizer)
         forward = make_forward(self.model_cfg, self.meta)
         self._forward = forward
@@ -199,6 +221,7 @@ class KGWAS:
 
         print_sys("Start Training...")
         self.train_history = []
+        global_step = 0
         for ep in range(total_epoch):
             batches = epoch_batches(train_ids, batch_size, shuffle, shuffle_rng)
             last_loss = float("nan")
@@ -210,6 +233,15 @@ class KGWAS:
                         w_node,
                     )
                     meter.step()
+                    global_step += 1
+                    if checkpointer and global_step % checkpoint_every == 0:
+                        from .engine.checkpoint import save_train_state_async
+
+                        save_train_state_async(
+                            checkpointer, ckpt_dir, global_step,
+                            jax.tree_util.tree_map(jnp.copy, params),
+                            jax.tree_util.tree_map(jnp.copy, opt_state),
+                        )
                     if self.wandb:
                         self.wandb.log({"training_loss": float(loss)})
                     if (step % log_interval == 0) and (step >= log_interval):
@@ -252,6 +284,8 @@ class KGWAS:
         self.params = params
         self.best_params = best_params
         self.best_epoch = best_epoch
+        if checkpointer:
+            checkpointer.wait_until_finished()
 
         if save_best_model:
             save_model_path = os.path.join(self.data_path, "model")

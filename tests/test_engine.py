@@ -108,3 +108,33 @@ def test_interpretation_pipeline(trained_run):
         assert set(dcn.Category.unique()) <= {"V2G", "G2G", "G2P"}
         # rev_ prefixes stripped in V2G
         assert not any(r.startswith("rev_") for r in dcn.rel_type.values)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Orbax async train-state checkpointing + resume (new aux subsystem)."""
+    import numpy as np
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    data = KGWAS_Data.from_synthetic(
+        n_snp=200, n_gene=40, n_go=15, seed=3, data_path=str(tmp_path)
+    )
+    data.load_synthetic_gwas(seed=3)
+    data.process_gwas_file()
+    data.prepare_split()
+    run = KGWAS(data, exp_name="ckpt_run", seed=3)
+    run.initialize_model(gnn_hidden_dim=8)
+    run.train(batch_size=32, epoch=1, checkpoint_every=2, save_best_model=False)
+
+    import os
+
+    ckpt_dir = os.path.join(str(tmp_path), "model", "ckpt_run", "train_state")
+    from kgwas_tpu.engine.checkpoint import latest_train_state, restore_train_state
+
+    latest = latest_train_state(ckpt_dir)
+    assert latest is not None
+    # restored state drives a resumed run
+    run2 = KGWAS(data, exp_name="ckpt_run", seed=3)
+    run2.initialize_model(gnn_hidden_dim=8)
+    run2.train(batch_size=32, epoch=1, resume=True, save_best_model=False)
+    assert np.isfinite(run2.train_history[-1]["loss"])
