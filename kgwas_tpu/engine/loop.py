@@ -61,6 +61,25 @@ def make_forward(cfg: ModelConfig, meta: dict) -> Callable:
     return forward
 
 
+def make_forward_streamed(cfg: ModelConfig, meta: dict) -> Callable:
+    """Forward with host-streamed giant features: (params, arrays_stripped,
+    x_host) -> per-SNP predictions."""
+    from .streamed import compute_h1
+
+    @jax.jit
+    def _fwd(params, arrays, h1):
+        pred = apply_hetero_gnn(
+            params, cfg, meta, arrays, training=False, h1_override=h1
+        )
+        return pred[:, 0]
+
+    def forward(params, arrays, x_host):
+        h1 = compute_h1(params, x_host, meta["padded_nodes"])
+        return _fwd(params, arrays, h1)
+
+    return forward
+
+
 def build_optimizer(lr: float, weight_decay: float):
     return torch_adam(lr, weight_decay)
 

@@ -56,11 +56,16 @@ class KGWAS:
         gnn_aggr: str = "sum",
         gat_num_head: int = 1,
         no_relu: bool = False,
+        stream_features: Optional[list] = None,
         **tpu_kwargs,
     ):
         """Defaults mirror reference kgwas/kgwas.py:52. Extra kwargs reach the
-        TPU-specific ModelConfig fields (compute_dtype, remat, ...)."""
+        TPU-specific ModelConfig fields (compute_dtype, remat, use_pallas...).
+        stream_features: node types whose embedding tables stay host-side and
+        stream to HBM per step (bigger-than-HBM pops features)."""
         import jax
+
+        self.stream_features = list(stream_features or [])
 
         self.config = {
             "gnn_num_layers": gnn_num_layers,
@@ -130,7 +135,19 @@ class KGWAS:
         import jax.numpy as jnp
 
         cg = self.data.compile()
-        arrays = jax.device_put(cg.arrays())
+        streamed = getattr(self, "stream_features", [])
+        if streamed:
+            from .engine.streamed import strip_streamed_features
+
+            self._x_host = {
+                t: cg.node_x[t][: cg.num_nodes[t]] for t in streamed
+            }
+            arrays = jax.device_put(
+                strip_streamed_features(cg.arrays(), streamed, cg.padded_nodes)
+            )
+        else:
+            self._x_host = {}
+            arrays = jax.device_put(cg.arrays())
 
         n_pad = cg.padded_nodes["SNP"]
         y_node = np.zeros(n_pad, dtype=np.float32)
@@ -202,8 +219,27 @@ class KGWAS:
                     latest, self.params, opt_state
                 )
 
-        train_step = make_train_step(self.model_cfg, self.meta, optimizer)
-        forward = make_forward(self.model_cfg, self.meta)
+        streamed = getattr(self, "stream_features", [])
+        if streamed:
+            from .engine.loop import make_forward_streamed
+            from .engine.streamed import make_streamed_train_step
+
+            streamed_step = make_streamed_train_step(
+                self.model_cfg, self.meta, optimizer, streamed
+            )
+            x_host = self._x_host
+
+            def train_step(params, opt_state, arrays, bidx, y, w):
+                return streamed_step(params, opt_state, arrays, x_host, bidx, y, w)
+
+            fwd_streamed = make_forward_streamed(self.model_cfg, self.meta)
+
+            def forward(params, arrays):
+                return fwd_streamed(params, arrays, x_host)
+
+        else:
+            train_step = make_train_step(self.model_cfg, self.meta, optimizer)
+            forward = make_forward(self.model_cfg, self.meta)
         self._forward = forward
 
         params = self.params
@@ -342,9 +378,15 @@ class KGWAS:
     def predict_all(self, params=None) -> np.ndarray:
         """Per-SNP predictions for every KG SNP (one full-graph forward)."""
         cg, arrays, _, _ = self._device_state()
-        forward = getattr(self, "_forward", None) or make_forward(
-            self.model_cfg, self.meta
-        )
+        forward = getattr(self, "_forward", None)
+        if forward is None:
+            if getattr(self, "stream_features", []):
+                from .engine.loop import make_forward_streamed
+
+                fwd_s = make_forward_streamed(self.model_cfg, self.meta)
+                forward = lambda p, a: fwd_s(p, a, self._x_host)  # noqa: E731
+            else:
+                forward = make_forward(self.model_cfg, self.meta)
         pred = np.asarray(forward(params or self.best_params, arrays))
         return pred[: cg.num_nodes["SNP"]]
 

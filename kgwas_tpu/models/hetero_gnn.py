@@ -157,8 +157,23 @@ def _aggregate(outs, aggr: str):
     raise ValueError(f"unknown hetero aggr {aggr!r}")
 
 
-def apply_encoders(params, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    return {t: apply_mlp(params[encoder_for(t)], xt) for t, xt in x.items()}
+def apply_encoders(
+    params,
+    x: Dict[str, jnp.ndarray],
+    h1_override: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """h1_override: per-type precomputed first-layer pre-activations (the
+    streamed giant-feature path, ops/streaming.py) — those types skip fc1."""
+    from .mlp import apply_mlp_tail
+
+    out = {}
+    for t, xt in x.items():
+        enc = params[encoder_for(t)]
+        if h1_override and t in h1_override:
+            out[t] = apply_mlp_tail(enc, h1_override[t])
+        else:
+            out[t] = apply_mlp(enc, xt)
+    return out
 
 
 def apply_hetero_layer(
@@ -214,13 +229,15 @@ def apply_hetero_gnn(
     training: bool = False,
     dropout_rng=None,
     return_hidden: bool = False,
+    h1_override: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     """Full-graph forward. Returns pred [N_snp_pad, out_channels] (all SNP
     rows; gather seed rows outside — the full-graph analog of the
     ``[:batch_size]`` seed slice at reference model.py:79-86)."""
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _apply_hetero_gnn(
-            params, cfg, meta, graph_arrays, training, dropout_rng, return_hidden
+            params, cfg, meta, graph_arrays, training, dropout_rng,
+            return_hidden, h1_override,
         )
 
 
@@ -232,6 +249,7 @@ def _apply_hetero_gnn(
     training: bool = False,
     dropout_rng=None,
     return_hidden: bool = False,
+    h1_override: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     x = graph_arrays["x"]
     edges = graph_arrays["edges"]
@@ -239,8 +257,12 @@ def _apply_hetero_gnn(
     if compute_dtype != jnp.float32:
         x = {t: v.astype(compute_dtype) for t, v in x.items()}
         params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+        if h1_override:
+            h1_override = {
+                t: v.astype(compute_dtype) for t, v in h1_override.items()
+            }
 
-    h = apply_encoders(params, x)
+    h = apply_encoders(params, x, h1_override)
 
     def layer_fn(h, layer_params, rng):
         out, _ = apply_hetero_layer(

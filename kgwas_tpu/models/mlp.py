@@ -32,3 +32,11 @@ def apply_mlp(params, x: jnp.ndarray) -> jnp.ndarray:
     h = jax.nn.relu(x @ params["fc1"]["w"] + params["fc1"]["b"])
     h = jax.nn.relu(h @ params["fc2"]["w"] + params["fc2"]["b"])
     return h @ params["fc3"]["w"] + params["fc3"]["b"]
+
+
+def apply_mlp_tail(params, h1_pre: jnp.ndarray) -> jnp.ndarray:
+    """Encoder tail given a precomputed first-layer pre-activation (the
+    streamed-feature path: h1_pre = X @ W1 + b1 computed outside jit)."""
+    h = jax.nn.relu(h1_pre)
+    h = jax.nn.relu(h @ params["fc2"]["w"] + params["fc2"]["b"])
+    return h @ params["fc3"]["w"] + params["fc3"]["b"]

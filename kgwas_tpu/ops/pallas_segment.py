@@ -7,24 +7,28 @@ intermediates and runs separate scatter kernels; this kernel makes ONE pass
 over the destination-sorted edge stream per phase:
 
   phase 1 (per dst-row tile): running max of logits per row
-  phase 2: exp/accumulate numerator (one-hot MXU matmul onto the row tile)
-           and denominator, then normalize
+  phase 2: exp/accumulate numerator + denominator, then normalize
 
 HBM traffic ~= read(msgs) + 2*read(logits) + write(out): the roofline for
 this op.
 
-TPU layout constraints honored here (Mosaic requires 128-lane-aligned
-slices):
+Mosaic layout rules shape the implementation:
   * feature dim D must be a multiple of 128 (hidden=128 default)
-  * logits/dst are stored as [E_pad/128, 128] so chunk DMAs slice whole
-    lane-rows; chunk starts are rounded down to 128-edge boundaries and
-    out-of-tile edges are masked via the dst one-hot
-  * the backward writes edge-gradient chunks with read-modify-write merges:
-    the sequential TPU grid makes the previous tile's trailing writes visible,
-    so overlapping 128-edge boundary regions combine correctly
+  * per-edge scalars (logits, dst) live in HBM as [E/128, 128] lane-rows;
+    chunks are DMA'd as (BE/128, 128) blocks at 128-aligned starts and
+    lane-concatenated to a (1, BE) row — no cross-lane reshapes
+  * the one-hot is built TRANSPOSED: onehotT[n, e] = (dst[e] == row_base+n)
+    via a (BN,1) x (1,BE) broadcast compare; per-edge softmax scaling folds
+    into the one-hot columns, so the MXU matmul (onehotT*p) @ msgs does
+    scatter-reduce and scaling in one shot
+  * column<->row conversions go through an identity matmul (MXU transpose)
+  * chunk windows of adjacent tiles can overlap by <128 edges; out-of-tile
+    lanes are masked by the one-hot, and the backward merges overlapping
+    edge-gradient writes read-modify-write (the sequential TPU grid makes
+    the previous tile's writes visible)
 
-Custom VJP recomputes alpha from saved (row_max, row_sum) residuals — no [E]
-softmax array ever hits HBM.
+The custom VJP recomputes alpha from saved (row_max, row_sum) residuals — no
+[E] softmax array ever hits HBM.
 """
 from __future__ import annotations
 
@@ -38,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e9
 EPS = 1e-16
-EXP_CLAMP = 60.0  # exp arg clamp: out-of-tile lanes would overflow otherwise
+EXP_CLAMP = 60.0  # out-of-tile lanes would overflow exp otherwise
 
 LANE = 128
 BN = 256   # dst rows per program
@@ -53,10 +57,22 @@ def _tile_range(off_ref, i):
     return start, end, start_al, pl.cdiv(end - start_al, BE)
 
 
-def _onehot_for_chunk(dst_vmem, row_base):
-    """dst chunk [BR, LANE] -> bool one-hot [BE, BN] vs this tile's rows."""
-    local = dst_vmem[:, :].reshape(BE, 1) - row_base
-    return local == jax.lax.broadcasted_iota(jnp.int32, (BE, BN), 1)
+def _lane_concat(block_ref):
+    """(BR, LANE) VMEM block -> (1, BE) row via lane concatenation."""
+    rows = [block_ref[r : r + 1, :] for r in range(BR)]
+    return jnp.concatenate(rows, axis=1)
+
+
+def _row_to_block(row, dtype):
+    """(1, BE) row -> (BR, LANE) by 128-aligned lane slices."""
+    parts = [row[0:1, r * LANE : (r + 1) * LANE] for r in range(BR)]
+    return jnp.concatenate(parts, axis=0).astype(dtype)
+
+
+def _onehot_t(dst_row, row_base):
+    """Transposed one-hot [BN, BE]: onehotT[n, e] = dst[e] == row_base + n."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0) + row_base
+    return rows == dst_row  # (1, BE) broadcasts against (BN, BE)
 
 
 def _fwd_kernel(
@@ -94,10 +110,10 @@ def _fwd_kernel(
     # ---- phase 1: per-row max ----
     def max_body(c, row_max):
         load_chunk(c)
-        onehot = _onehot_for_chunk(dst_vmem, row_base)              # [BE, BN]
-        lg = logits_vmem[:, :].reshape(BE, 1)
-        contrib = jnp.where(onehot, lg, NEG_BIG)
-        return jnp.maximum(row_max, jnp.max(contrib, axis=0))
+        onehot_t = _onehot_t(_lane_concat(dst_vmem), row_base)   # [BN, BE]
+        l_row = _lane_concat(logits_vmem)                        # [1, BE]
+        contrib = jnp.where(onehot_t, l_row, NEG_BIG)            # [BN, BE]
+        return jnp.maximum(row_max, jnp.max(contrib, axis=1))    # [BN]
 
     row_max = jax.lax.fori_loop(
         0, nchunks, max_body, jnp.full((BN,), NEG_BIG, dtype=jnp.float32)
@@ -107,18 +123,20 @@ def _fwd_kernel(
     def acc_body(c, carry):
         acc, row_sum = carry
         load_chunk(c)
-        onehot = _onehot_for_chunk(dst_vmem, row_base)
-        in_tile = onehot.any(axis=1, keepdims=True)                  # [BE, 1]
-        lg = logits_vmem[:, :].reshape(BE, 1)
-        m_e = jnp.max(jnp.where(onehot, row_max[None, :], NEG_BIG), axis=1,
-                      keepdims=True)
-        p = jnp.exp(jnp.minimum(lg - m_e, EXP_CLAMP))
-        p = jnp.where(in_tile, p, 0.0)                               # [BE, 1]
-        row_sum = row_sum + jnp.sum(jnp.where(onehot, p, 0.0), axis=0)
+        onehot_t = _onehot_t(_lane_concat(dst_vmem), row_base)
+        l_row = _lane_concat(logits_vmem)
+        # per-edge row max: project row_max through the one-hot
+        m_row = jnp.max(jnp.where(onehot_t, row_max[:, None], NEG_BIG),
+                        axis=0, keepdims=True)                   # [1, BE]
+        in_tile = onehot_t.any(axis=0, keepdims=True)            # [1, BE]
+        p_row = jnp.exp(jnp.minimum(l_row - m_row, EXP_CLAMP))
+        p_row = jnp.where(in_tile, p_row, 0.0)                   # [1, BE]
+        oh_p = onehot_t.astype(jnp.float32) * p_row              # [BN, BE]
+        row_sum = row_sum + jnp.sum(oh_p, axis=1)                # [BN]
         acc = acc + jax.lax.dot_general(
-            onehot.astype(jnp.float32),
-            msgs_vmem[:, :] * p,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            oh_p,
+            msgs_vmem[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),          # [BN, D]
             preferred_element_type=jnp.float32,
         )
         return acc, row_sum
@@ -196,6 +214,7 @@ def _bwd_kernel(
     msgs_ref,         # [E_pad, D] HBM
     logits_ref,       # [E_pad/LANE, LANE] HBM
     dst_ref,          # [E_pad/LANE, LANE] HBM
+    ident_ref,        # [BE, BE] VMEM identity (col<->row MXU transpose)
     rmax_ref,         # [BN] VMEM block
     rsum_ref,         # [BN] VMEM block
     out_ref,          # [BN, D] VMEM block (primal output)
@@ -227,8 +246,6 @@ def _bwd_kernel(
                                     logits_vmem, sems.at[1])
         cp3 = pltpu.make_async_copy(dst_ref.at[pl.ds(r, BR), :], dst_vmem,
                                     sems.at[2])
-        # read current grads for merge (previous tile's trailing writes —
-        # the sequential grid guarantees they landed already)
         cp6 = pltpu.make_async_copy(dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old,
                                     sems.at[3])
         cp7 = pltpu.make_async_copy(dlogits_ref.at[pl.ds(r, BR), :],
@@ -236,40 +253,60 @@ def _bwd_kernel(
         cp1.start(); cp2.start(); cp3.start(); cp6.start(); cp7.start()
         cp1.wait(); cp2.wait(); cp3.wait(); cp6.wait(); cp7.wait()
 
-        onehot = _onehot_for_chunk(dst_vmem, row_base)
-        in_tile = onehot.any(axis=1, keepdims=True)
-        ohf = onehot.astype(jnp.float32)
-        lg = logits_vmem[:, :].reshape(BE, 1)
-        m_e = jnp.max(jnp.where(onehot, rmax_ref[:][None, :], NEG_BIG), axis=1,
-                      keepdims=True)
-        inv_e = jax.lax.dot_general(
-            ohf, inv_sum[:, None],
+        onehot_t = _onehot_t(_lane_concat(dst_vmem), row_base)   # [BN, BE]
+        ohf = onehot_t.astype(jnp.float32)
+        in_tile = onehot_t.any(axis=0, keepdims=True)            # [1, BE]
+        l_row = _lane_concat(logits_vmem)                        # [1, BE]
+        m_row = jnp.max(jnp.where(onehot_t, rmax_ref[:][:, None], NEG_BIG),
+                        axis=0, keepdims=True)
+        inv_row = jax.lax.dot_general(
+            inv_sum[None, :], ohf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        p = jnp.exp(jnp.minimum(lg - m_e, EXP_CLAMP)) * inv_e
-        p = jnp.where(in_tile, p, 0.0)
+        )                                                         # [1, BE]
+        p_row = jnp.exp(jnp.minimum(l_row - m_row, EXP_CLAMP)) * inv_row
+        p_row = jnp.where(in_tile, p_row, 0.0)
 
+        oh_p = ohf * p_row                                        # [BN, BE]
+        # d_msgs[e] = p[e] * g[dst[e]] = (oh_p)^T @ g
+        new_dmsgs = jax.lax.dot_general(
+            oh_p, g_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                         # [BE, D]
+        # per-edge gathered g rows (unscaled) for msgs . g
         g_e = jax.lax.dot_general(
             ohf, g_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                         # [BE, D]
+        msg_dot_col = jnp.sum(msgs_vmem[:, :] * g_e, axis=1,
+                              keepdims=True)                      # [BE, 1]
+        msg_dot_row = jax.lax.dot_general(
+            msg_dot_col, ident_ref[:, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                         # [1, BE]
+        dot_e_row = jax.lax.dot_general(
+            dot_r[None, :], ohf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # [BE, D]
-        dot_e = jax.lax.dot_general(
-            ohf, dot_r[:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+        )                                                         # [1, BE]
+        dlog_row = p_row * (msg_dot_row - dot_e_row)              # [1, BE]
+
+        # merge with previous values for out-of-tile lanes
+        in_tile_colv = jax.lax.dot_general(
+            ident_ref[:, :], in_tile.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # [BE, 1]
-
-        new_dmsgs = p * g_e
-        msg_dot_g = jnp.sum(msgs_vmem[:, :] * g_e, axis=1, keepdims=True)
-        new_dlog = p * (msg_dot_g - dot_e)
-
-        # merge: keep previous values for out-of-tile lanes
-        dmsgs_vmem[:, :] = jnp.where(in_tile, new_dmsgs, dmsgs_old[:, :])
+        )                                                         # [BE, 1]
+        dmsgs_vmem[:, :] = jnp.where(
+            in_tile_colv > 0.5, new_dmsgs, dmsgs_old[:, :]
+        )
+        dlog_block = _row_to_block(dlog_row, jnp.float32)
+        keep_block = _row_to_block(in_tile.astype(jnp.float32), jnp.float32)
         dlogits_vmem[:, :] = jnp.where(
-            in_tile.reshape(BR, LANE), new_dlog.reshape(BR, LANE),
-            dlogits_old[:, :],
+            keep_block > 0.5, dlog_block, dlogits_old[:, :]
         )
 
         cp4 = pltpu.make_async_copy(dmsgs_vmem, dmsgs_ref.at[pl.ds(s, BE), :],
@@ -290,6 +327,7 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
     n_tiles = n_rows // BN
     msgs_p, logits_p, dst_p = _pad_edges(msgs, logits, dst, n_rows)
     e_pad = msgs_p.shape[0]
+    ident = jnp.eye(BE, dtype=jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -298,6 +336,8 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((BE, BE), lambda i, off: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BN,), lambda i, off: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN,), lambda i, off: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, d), lambda i, off: (i, 0),
@@ -334,6 +374,7 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
         msgs_p,
         logits_p,
         dst_p,
+        ident,
         row_max,
         row_sum,
         out,

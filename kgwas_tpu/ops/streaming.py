@@ -1,0 +1,69 @@
+"""Host->HBM streamed matmul for bigger-than-HBM embedding tables.
+
+The full-mode config uses PoPS gene features (57,742-dim, reference
+kgwas_data.py:244) and pops_expression (40,546-dim) — at full KG scale these
+can exceed a single chip's HBM. The features are frozen inputs
+(requires_grad=False in the reference, kgwas_data.py:136), so only the first
+encoder layer touches them:
+
+  h1 = X @ W1 + b1          (forward: stream X column-chunks host->device)
+  dW1 = X^T @ dh1, db1=sum  (backward: second streamed pass; dX never needed)
+
+Everything downstream of h1 stays inside the jitted full-graph step
+(engine/streamed.py splits the encoder accordingly). The feature matrix
+stays host-side (numpy or np.memmap); each chunk is transferred once per
+pass with the matmul overlapped by JAX async dispatch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_matmul(acc, xc, wc):
+    return acc + xc @ wc
+
+
+def streamed_matmul(
+    x_host: np.ndarray,
+    w,
+    bias=None,
+    col_chunk: int = 8192,
+):
+    """h = x_host @ w (+ bias). x_host: [N, D] host array/memmap; w: [D, H]
+    device array. Streams D in chunks of col_chunk columns."""
+    n, d = x_host.shape
+    h = w.shape[1]
+    acc = jnp.zeros((n, h), dtype=w.dtype)
+    for c0 in range(0, d, col_chunk):
+        c1 = min(c0 + col_chunk, d)
+        xc = jax.device_put(
+            np.ascontiguousarray(x_host[:, c0:c1], dtype=np.float32)
+        )
+        acc = _acc_matmul(acc, xc, jax.lax.slice(w, (c0, 0), (c1, h)))
+    if bias is not None:
+        acc = acc + bias
+    return acc
+
+
+def streamed_grad_w(
+    x_host: np.ndarray,
+    dh,
+    col_chunk: int = 8192,
+):
+    """dW = x_host^T @ dh, streamed over column chunks. Returns [D, H]."""
+    n, d = x_host.shape
+    hdim = dh.shape[1]
+    parts = []
+    for c0 in range(0, d, col_chunk):
+        c1 = min(c0 + col_chunk, d)
+        xc = jax.device_put(
+            np.ascontiguousarray(x_host[:, c0:c1], dtype=np.float32)
+        )
+        parts.append(np.asarray(jnp.matmul(xc.T, dh)))
+    return jnp.asarray(np.concatenate(parts, axis=0))

@@ -54,3 +54,39 @@ def flatten(list_of_lists):
 def ensure_dir(path):
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def find_connected_components_details(edges):
+    """Connected components with per-component node and edge lists
+    (reference kgwas/utils.py:353-390), iterative DFS."""
+    graph = {}
+    for u, v in edges:
+        graph.setdefault(u, []).append(v)
+        graph.setdefault(v, []).append(u)
+
+    def dfs(vertex):
+        visited_nodes = set()
+        visited_edges = set()
+        stack = [vertex]
+        while stack:
+            current = stack.pop()
+            if current in visited_nodes:
+                continue
+            visited_nodes.add(current)
+            for neighbor in graph[current]:
+                stack.append(neighbor)
+                if (current, neighbor) not in visited_edges and (
+                    neighbor,
+                    current,
+                ) not in visited_edges:
+                    visited_edges.add((current, neighbor))
+        return list(visited_nodes), list(visited_edges)
+
+    visited = set()
+    components = []
+    for vertex in graph:
+        if vertex not in visited:
+            nodes, comp_edges = dfs(vertex)
+            components.append({"nodes": nodes, "edges": comp_edges})
+            visited.update(nodes)
+    return components
