@@ -172,6 +172,7 @@ class KGWAS:
         epoch: int = 10,
         save_best_model: bool = True,
         save_name: Optional[str] = None,
+        data_to_cuda: bool = False,  # reference API parity; graph always in HBM
         shuffle: bool = False,
         log_interval: int = 500,
         profile_dir: Optional[str] = None,

@@ -151,8 +151,8 @@ def _fwd_kernel(
         ),
     )
     out_ref[:, :] = acc / (row_sum + EPS)[:, None]
-    max_ref[:] = row_max
-    sum_ref[:] = row_sum
+    max_ref[0, :] = row_max
+    sum_ref[0, :] = row_sum
 
 
 def _pad_edges(msgs, logits, dst, n_rows):
@@ -186,8 +186,10 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
         out_specs=[
             pl.BlockSpec((BN, d), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN,), lambda i, off: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN,), lambda i, off: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((BE, d), jnp.float32),
@@ -201,8 +203,8 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows,), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows,), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, BN), jnp.float32),
         ],
         interpret=interpret,
     )(row_offsets, msgs_p, logits_p, dst_p)
@@ -235,7 +237,8 @@ def _bwd_kernel(
     row_base = i * BN
 
     dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)  # [BN]
-    inv_sum = 1.0 / (rsum_ref[:] + EPS)                   # [BN]
+    row_max_v = rmax_ref[0, :]                            # [BN]
+    inv_sum = 1.0 / (rsum_ref[0, :] + EPS)                # [BN]
 
     def body(c, _):
         s = start_al + c * BE
@@ -257,7 +260,7 @@ def _bwd_kernel(
         ohf = onehot_t.astype(jnp.float32)
         in_tile = onehot_t.any(axis=0, keepdims=True)            # [1, BE]
         l_row = _lane_concat(logits_vmem)                        # [1, BE]
-        m_row = jnp.max(jnp.where(onehot_t, rmax_ref[:][:, None], NEG_BIG),
+        m_row = jnp.max(jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
                         axis=0, keepdims=True)
         inv_row = jax.lax.dot_general(
             inv_sum[None, :], ohf,
@@ -338,8 +341,10 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((BE, BE), lambda i, off: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN,), lambda i, off: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN,), lambda i, off: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, d), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, d), lambda i, off: (i, 0),

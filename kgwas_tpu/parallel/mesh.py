@@ -16,6 +16,22 @@ def device_count() -> int:
     return jax.device_count()
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (DCN between hosts, ICI within a slice).
+    On TPU pods with standard env vars, bare jax.distributed.initialize()
+    autodetects everything; args are for manual CPU/GPU test rigs."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(data: int = -1, model: int = 1, axis_names=("data", "model")) -> Mesh:
     """data=-1 uses all remaining devices on the data axis."""
     n = jax.device_count()

@@ -26,8 +26,10 @@ def load_dict(path):
         return pickle.load(f)
 
 
-def compute_metrics(results: dict) -> dict:
-    """MSE + Pearson r on pred/truth arrays (reference kgwas/utils.py:41-45)."""
+def compute_metrics(results: dict, binary=False, coverage=None,
+                    uncertainty_reg=1, loss_fct=None) -> dict:
+    """MSE + Pearson r on pred/truth arrays (reference kgwas/utils.py:41-45).
+    Extra args accepted for reference signature parity; unused there too."""
     from scipy.stats import pearsonr
 
     pred = np.asarray(results["pred"], dtype=np.float64)

@@ -143,3 +143,38 @@ def test_get_gwas_results_metrics():
     assert out["overall_recall"] == 1.0
     assert out["precision_100"] == pytest.approx(0.5)
     assert out["PR@80_K"] <= 100
+
+
+def test_quantile_normalize_matches_reference(ref_eval_utils):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"a": rng.random(50), "b": rng.random(50) * 10})
+    from kgwas_tpu.stats.gwas_eval import quantile_normalize
+
+    ours = quantile_normalize(df)
+    ref = ref_eval_utils.quantileNormalize(df)
+    pd.testing.assert_frame_equal(ours, ref)
+
+
+def test_get_cluster_count_and_topk():
+    rng = np.random.default_rng(4)
+    n = 300
+    gold = pd.DataFrame(
+        {
+            "#CHROM": rng.integers(1, 4, n),
+            "POS": rng.integers(1, 10_000_000, n),
+            "ID": [f"rs{i}" for i in range(n)],
+        }
+    )
+    from kgwas_tpu.stats.gwas_eval import get_cluster_count, get_cluster_from_gwas
+
+    (_, _, _, _, _, gold_rng) = get_cluster_from_gwas(
+        gold, 500000, cluster_compare_threshold=250000, verbose=False
+    )
+    out = get_cluster_count(gold, 500000, 250000, False, gold_rng)
+    # self-comparison: same clustering on both sides; overlap counts can fall
+    # below total because extended ranges make adjacent clusters overlap and
+    # the reference's matcher breaks at the FIRST overlapping gold cluster
+    # (reference eval_utils.py:400-405)
+    assert out["set_total"] == out["total_set"]
+    assert 0 < out["set_overlap_ref"] <= out["total_set"]
+    assert 0 < out["set_overlap_query"] <= out["set_total"]

@@ -138,3 +138,28 @@ def test_checkpoint_resume(tmp_path):
     run2.initialize_model(gnn_hidden_dim=8)
     run2.train(batch_size=32, epoch=1, resume=True, save_best_model=False)
     assert np.isfinite(run2.train_history[-1]["loss"])
+
+
+def test_train_options_bf16_remat_shuffle(tmp_path):
+    """TPU speed knobs (bfloat16 compute, remat, shuffled batches) run and
+    produce finite outputs."""
+    import numpy as np
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    data = KGWAS_Data.from_synthetic(
+        n_snp=150, n_gene=40, n_go=15, seed=9, data_path=str(tmp_path)
+    )
+    data.load_synthetic_gwas(seed=9)
+    data.process_gwas_file()
+    data.prepare_split()
+    run = KGWAS(data, exp_name="knobs", seed=9)
+    run.initialize_model(
+        gnn_hidden_dim=16,
+        compute_dtype="bfloat16",
+        matmul_precision="default",
+        remat=True,
+    )
+    res = run.train(batch_size=64, epoch=1, shuffle=True, save_best_model=False)
+    assert np.all(np.isfinite(res.pred.values))
+    assert np.all(np.isfinite(res.KGWAS_P.values.astype(float)))
