@@ -85,14 +85,14 @@ def main():
         params, opt_state, loss = train_step(
             params, opt_state, arrays, batch_idx, y_node, w_node
         )
-    jax.block_until_ready(loss)
+    jax.block_until_ready((loss, params))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = train_step(
             params, opt_state, arrays, batch_idx, y_node, w_node
         )
-    jax.block_until_ready(loss)
+    jax.block_until_ready((loss, params, opt_state))
     dt = time.perf_counter() - t0
 
     real_edges = cg.total_real_edges()
