@@ -1,0 +1,119 @@
+"""Benchmark: hetero message-passing training throughput on one chip.
+
+Measures the full training step (full-graph GAT forward + backward + Adam)
+on a synthetic KG sized like the fast-mode demo config and reports
+KG edge-traversals/sec/chip (each real edge counts once per GNN layer per
+forward pass — the unit of hetero message-passing work).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against an estimated A100 PyG reference throughput of
+2.0e7 edge-traversals/s for the same model (KGWAS defaults: 2-layer GAT,
+hidden 128, heads 1). The reference publishes no numbers (BASELINE.md); this
+estimate is deliberately generous to the baseline: it assumes the A100 PyG
+stack sustains 20M scatter-gather edge messages/s end-to-end including
+NeighborLoader CPU sampling and the ~L-hop neighborhood recomputation that
+full-graph training eliminates.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_EDGE_TRAVERSALS_PER_SEC_A100 = 2.0e7
+
+
+def main():
+    # runs on the default platform (axon TPU under the driver; CPU works too)
+    import jax
+    import jax.numpy as jnp
+
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.engine.loop import build_optimizer, make_train_step
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+
+    n_snp = int(os.environ.get("BENCH_N_SNP", 400_000))
+    n_gene = int(os.environ.get("BENCH_N_GENE", 20_000))
+    n_go = int(os.environ.get("BENCH_N_GO", 12_000))
+    avg_degree = int(os.environ.get("BENCH_AVG_DEGREE", 6))
+    hidden = int(os.environ.get("BENCH_HIDDEN", 128))
+    layers = int(os.environ.get("BENCH_LAYERS", 2))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+
+    g = make_synthetic_kg(
+        n_snp=n_snp,
+        n_gene=n_gene,
+        n_go=n_go,
+        snp_dim=20,
+        gene_dim=128,
+        go_dim=128,
+        avg_degree=avg_degree,
+        seed=0,
+    )
+    cg = compile_graph(g, edge_pad_multiple=8192)
+    cfg = ModelConfig(
+        gnn_hidden_dim=hidden,
+        gnn_num_layers=layers,
+        gnn_backbone="GAT",
+        compute_dtype=dtype,
+        matmul_precision="default" if dtype == "bfloat16" else "highest",
+    )
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
+
+    arrays = jax.device_put(cg.arrays())
+    optimizer = build_optimizer(1e-4, 5e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(cfg, meta, optimizer)
+
+    n_pad = cg.padded_nodes["SNP"]
+    rng = np.random.default_rng(0)
+    y_node = jnp.asarray(rng.random(n_pad, dtype=np.float32))
+    w_node = jnp.asarray(np.ones(n_pad, dtype=np.float32))
+    batch_idx = jnp.asarray(
+        rng.integers(0, cg.num_nodes["SNP"], batch), dtype=jnp.int32
+    )
+
+    # warmup / compile
+    for _ in range(3):
+        params, opt_state, loss = train_step(
+            params, opt_state, arrays, batch_idx, y_node, w_node
+        )
+    jax.block_until_ready((loss, params))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, arrays, batch_idx, y_node, w_node
+        )
+    jax.block_until_ready((loss, params, opt_state))
+    dt = time.perf_counter() - t0
+
+    real_edges = cg.total_real_edges()
+    traversals_per_step = real_edges * layers
+    value = traversals_per_step * steps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_edge_traversals_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "edge_traversals/s",
+                "vs_baseline": round(value / REF_EDGE_TRAVERSALS_PER_SEC_A100, 3),
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0].device_kind} edges={real_edges} "
+        f"layers={layers} steps={steps} step_time={dt/steps*1e3:.1f}ms "
+        f"dtype={dtype} loss={float(loss):.4f}",
+        file=sys.stderr,
+    )
+
+

@@ -146,11 +146,9 @@ def cmd_classic_gwas(args):
 
 def cmd_bench(args):
     os.environ.setdefault("BENCH_STEPS", str(args.steps))
-    sys.argv = ["bench.py"]
-    import runpy
+    from .bench_lib import main as bench_main
 
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
-                   run_name="__main__")
+    bench_main()
 
 
 def main(argv=None):

@@ -46,6 +46,12 @@ class RelationShard:
     dst: np.ndarray          # int32 [E_pad]
     num_edges: int           # real edge count (static)
     row_offsets: Optional[np.ndarray] = None  # int32 [N_dst_pad + 1]
+    # CSC view (source-sorted) for the Pallas scatter-add transpose of the
+    # source-feature gather: perm maps src-sorted position -> dst-sorted edge
+    # index; pad edges route to the source-side trash row
+    csc_perm: Optional[np.ndarray] = None       # int32 [E_pad]
+    csc_src_sorted: Optional[np.ndarray] = None  # int32 [E_pad]
+    csc_offsets: Optional[np.ndarray] = None     # int32 [N_src_pad + 1]
 
 
 @dataclass
@@ -88,6 +94,10 @@ class CompiledGraph:
             },
             "row_offsets": {
                 k: r.row_offsets for k, r in self.relations.items()
+            },
+            "csc": {
+                k: (r.csc_perm, r.csc_src_sorted, r.csc_offsets)
+                for k, r in self.relations.items()
             },
         }
 
@@ -134,9 +144,19 @@ def compile_graph(
         dst_arr[:e] = dst_sorted
 
         row_offsets = None
+        csc_perm = csc_src_sorted = csc_offsets = None
         if build_csr:
             row_offsets = shardops.build_csr_offsets(
                 dst_arr.astype(np.int64), padded_nodes[dst_t]
+            ).astype(np.int32)
+            # CSC: stable-sort edge positions by source (pads keyed to the
+            # source-side trash row so they cluster at the tail)
+            src_key = src_arr.astype(np.int64).copy()
+            src_key[e:] = num_nodes[src_t]
+            csc_perm = np.argsort(src_key, kind="stable").astype(np.int32)
+            csc_src_sorted = src_key[csc_perm].astype(np.int32)
+            csc_offsets = shardops.build_csr_offsets(
+                csc_src_sorted.astype(np.int64), padded_nodes[src_t]
             ).astype(np.int32)
 
         relations[edge_key(et)] = RelationShard(
@@ -148,6 +168,9 @@ def compile_graph(
             dst=dst_arr,
             num_edges=e,
             row_offsets=row_offsets,
+            csc_perm=csc_perm,
+            csc_src_sorted=csc_src_sorted,
+            csc_offsets=csc_offsets,
         )
 
     return CompiledGraph(

@@ -71,6 +71,8 @@ def apply_gat(
     return_alpha: bool = False,
     use_pallas: bool = False,
     row_offsets=None,
+    csc=None,
+    num_src_segments: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     H, C = heads, out_channels
     e_pad = src.shape[0]
@@ -98,10 +100,25 @@ def apply_gat(
         and num_dst_segments % 256 == 0
         and (H * C) % 128 == 0  # Mosaic lane alignment
     ):
-        from ..ops.pallas_segment import fused_segment_softmax_spmm
+        from ..ops.pallas_segment import (
+            fused_segment_softmax_spmm,
+            gather_rows_csc,
+        )
 
         interpret = jax.default_backend() != "tpu"  # CPU tests: interpret mode
-        msgs = gather_rows(xs, src)                                     # [E, D]
+        if (
+            csc is not None
+            and csc[0] is not None
+            and num_src_segments is not None
+            and num_src_segments % 256 == 0
+        ):
+            # gather whose transpose is a Pallas CSC scatter-add (XLA's
+            # scatter lowers to a serial per-element loop on TPU)
+            msgs = gather_rows_csc(
+                xs, src, csc[0], csc[1], csc[2], num_src_segments, interpret
+            )
+        else:
+            msgs = gather_rows(xs, src)                                 # [E, D]
         out = fused_segment_softmax_spmm(
             msgs, alpha[:, 0] / temperature, dst, row_offsets,
             num_dst_segments, interpret,

@@ -108,6 +108,7 @@ def _apply_relation_conv(
     dropout_rng=None,
     training: bool = False,
     row_offsets=None,
+    csc=None,
 ):
     src, dst = edges["src"], edges["dst"]
     nd = padded_nodes[dst_t]
@@ -132,6 +133,8 @@ def _apply_relation_conv(
             return_alpha=return_alpha,
             use_pallas=cfg.use_pallas,
             row_offsets=row_offsets,
+            csc=csc,
+            num_src_segments=ns,
         )
     if cfg.gnn_backbone == "SAGE":
         return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd), None
@@ -192,6 +195,7 @@ def apply_hetero_layer(
     num_edges = meta["num_edges"]
     padded_nodes = meta["padded_nodes"]
     row_offsets_all = meta.get("row_offsets", {})
+    csc_all = meta.get("csc", {})
     per_dst: Dict[str, list] = {}
     alphas: Dict[str, jnp.ndarray] = {}
     for rk, rp in layer_params.items():
@@ -213,6 +217,7 @@ def apply_hetero_layer(
             dropout_rng=rng,
             training=training,
             row_offsets=row_offsets_all.get(rk),
+            csc=csc_all.get(rk),
         )
         per_dst.setdefault(dst_t, []).append(out)
         if collect_alpha and alpha is not None:

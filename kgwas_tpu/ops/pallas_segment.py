@@ -151,8 +151,8 @@ def _fwd_kernel(
         ),
     )
     out_ref[:, :] = acc / (row_sum + EPS)[:, None]
-    max_ref[0, :] = row_max
-    sum_ref[0, :] = row_sum
+    max_ref[0:1, :] = row_max[None, :]
+    sum_ref[0:1, :] = row_sum[None, :]
 
 
 def _pad_edges(msgs, logits, dst, n_rows):
@@ -186,9 +186,9 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
         out_specs=[
             pl.BlockSpec((BN, d), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -198,13 +198,15 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
+    # residuals padded to 8-sublane blocks (Mosaic block-shape rule); only
+    # sublane 0 of each tile's block is meaningful
     out, row_max, row_sum = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, BN), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
         ],
         interpret=interpret,
     )(row_offsets, msgs_p, logits_p, dst_p)
@@ -341,9 +343,9 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((BE, BE), lambda i, off: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BN), lambda i, off: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, d), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -422,3 +424,118 @@ def _fssp_bwd(row_offsets_np, n_rows, interpret, residuals, g):
 
 
 fused_segment_softmax_spmm.defvjp(_fssp_fwd, _fssp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Plain segment-sum kernel + gather-with-Pallas-scatter VJP
+#
+# XLA lowers scatter-add on TPU to a per-element serial loop, which made the
+# gather's transpose (d_x[src[e]] += d_msgs[e]) dominate the backward. This
+# routes it through the same one-hot MXU accumulation over the CSC
+# (source-sorted) edge ordering produced by the shard compiler.
+# ---------------------------------------------------------------------------
+
+
+def _segsum_kernel(
+    off_ref,          # scalar prefetch: CSC row offsets (SMEM)
+    vals_ref,         # [E_pad, D] HBM (src-sorted order)
+    ids_ref,          # [E_pad/LANE, LANE] HBM (src ids, ascending)
+    out_ref,          # [BN, D] VMEM block
+    vals_vmem,
+    ids_vmem,
+    sems,
+):
+    i = pl.program_id(0)
+    start, end, start_al, nchunks = _tile_range(off_ref, i)
+    row_base = i * BN
+
+    def body(c, acc):
+        s = start_al + c * BE
+        r = s // LANE
+        cp1 = pltpu.make_async_copy(vals_ref.at[pl.ds(s, BE), :], vals_vmem,
+                                    sems.at[0])
+        cp2 = pltpu.make_async_copy(ids_ref.at[pl.ds(r, BR), :], ids_vmem,
+                                    sems.at[1])
+        cp1.start(); cp2.start()
+        cp1.wait(); cp2.wait()
+        onehot_t = _onehot_t(_lane_concat(ids_vmem), row_base)
+        return acc + jax.lax.dot_general(
+            onehot_t.astype(jnp.float32),
+            vals_vmem[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, nchunks, body,
+        jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+    )
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
+    """out[r] = sum_{e: ids[e]=r} vals[e]; ids ascending, n_rows % 256 == 0,
+    D % 128 == 0."""
+    d = vals.shape[1]
+    n_tiles = n_rows // BN
+    vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, d), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BE, d), jnp.float32),
+            pltpu.VMEM((BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _segsum_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, d), jnp.float32)],
+        interpret=interpret,
+    )(row_offsets, vals_p, ids_p)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def gather_rows_csc(x, idx, csc_perm_np, csc_ids_np, csc_offsets_np,
+                    n_src_rows, interpret=False):
+    """x[idx] with the transpose (scatter-add by idx) computed by the Pallas
+    segment-sum over the CSC ordering instead of XLA's serial scatter.
+
+    csc_perm_np[i] = dst-sorted edge position of the i-th src-sorted edge;
+    csc_ids_np = src ids in ascending order; csc_offsets_np = CSC offsets.
+    All numpy (static). n_src_rows % 256 == 0.
+    """
+    return jnp.take(x, idx, axis=0)
+
+
+def _grc_fwd(x, idx, csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows,
+             interpret):
+    return jnp.take(x, idx, axis=0), None
+
+
+def _grc_bwd(csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows, interpret,
+             _res, g):
+    g_sorted = jnp.take(g, jnp.asarray(csc_perm_np), axis=0)
+    dx = pallas_segment_sum(
+        g_sorted,
+        jnp.asarray(csc_ids_np),
+        jnp.asarray(csc_offsets_np),
+        n_src_rows,
+        interpret,
+    )
+    return dx, None
+
+
+gather_rows_csc.defvjp(_grc_fwd, _grc_bwd)

@@ -128,3 +128,51 @@ def test_model_pallas_path_matches_xla_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
         )
+
+
+def test_pallas_segment_sum_matches_dense():
+    from kgwas_tpu.ops.pallas_segment import pallas_segment_sum
+
+    rng = np.random.default_rng(11)
+    n_rows, e, d = BN, 700, 128
+    ids = np.sort(rng.integers(0, n_rows - 1, size=e)).astype(np.int32)
+    vals = rng.standard_normal((e, d)).astype(np.float32)
+    counts = np.bincount(ids, minlength=n_rows)
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    out = np.asarray(
+        pallas_segment_sum(jnp.asarray(vals), jnp.asarray(ids),
+                           jnp.asarray(offsets), n_rows, True)
+    )
+    dense = np.zeros((n_rows, d), dtype=np.float64)
+    for i in range(e):
+        dense[ids[i]] += vals[i]
+    np.testing.assert_allclose(out, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_rows_csc_grad_matches_xla():
+    from kgwas_tpu.ops.pallas_segment import gather_rows_csc
+
+    rng = np.random.default_rng(12)
+    n_src, e, d = BN, 900, 128
+    idx = rng.integers(0, n_src - 1, size=e).astype(np.int32)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    # CSC artifacts (as the shard compiler builds them)
+    perm = np.argsort(idx, kind="stable").astype(np.int32)
+    ids_sorted = idx[perm]
+    counts = np.bincount(ids_sorted, minlength=n_src)
+    offsets = np.zeros(n_src + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    g_out = rng.standard_normal((e, d)).astype(np.float32)
+
+    def loss_p(xx):
+        return jnp.sum(gather_rows_csc(xx, jnp.asarray(idx), perm, ids_sorted,
+                                       offsets, n_src, True) * g_out)
+
+    def loss_x(xx):
+        return jnp.sum(jnp.take(xx, jnp.asarray(idx), axis=0) * g_out)
+
+    gp = jax.grad(loss_p)(jnp.asarray(x))
+    gx = jax.grad(loss_x)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-4, atol=1e-4)
