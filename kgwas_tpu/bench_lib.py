@@ -45,6 +45,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
     g = make_synthetic_kg(
         n_snp=n_snp,
@@ -56,13 +57,14 @@ def main():
         avg_degree=avg_degree,
         seed=0,
     )
-    cg = compile_graph(g, edge_pad_multiple=8192)
+    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
     cfg = ModelConfig(
         gnn_hidden_dim=hidden,
         gnn_num_layers=layers,
         gnn_backbone="GAT",
         compute_dtype=dtype,
         matmul_precision="default" if dtype == "bfloat16" else "highest",
+        use_pallas=use_pallas,
     )
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
@@ -112,7 +114,7 @@ def main():
     print(
         f"# device={jax.devices()[0].device_kind} edges={real_edges} "
         f"layers={layers} steps={steps} step_time={dt/steps*1e3:.1f}ms "
-        f"dtype={dtype} loss={float(loss):.4f}",
+        f"dtype={dtype} pallas={use_pallas} loss={float(loss):.4f}",
         file=sys.stderr,
     )
 

@@ -1,34 +1,32 @@
 """Pallas TPU kernels: fused segment-softmax + weighted aggregation (GAT core).
 
-This is the speed-of-light replacement for the XLA composite in
-ops/segment.py (itself the replacement for torch_scatter CUDA kernels,
-reference kgwas/conv.py:223,227-228). The XLA path materializes softmax
-intermediates and runs separate scatter kernels; this kernel makes ONE pass
-over the destination-sorted edge stream per phase:
+Speed-of-light replacement for the XLA composite in ops/segment.py (itself
+the replacement for torch_scatter CUDA kernels, reference
+kgwas/conv.py:223,227-228). XLA lowers TPU scatter to a serial per-element
+loop (~250 ms/step on the 1.7M-edge bench graph); these kernels stream the
+destination-sorted edge list through VMEM once, accumulating with one-hot
+MXU matmuls:
 
-  phase 1 (per dst-row tile): running max of logits per row
-  phase 2: exp/accumulate numerator + denominator, then normalize
+  * ONE pass per edge chunk, flash-attention-style online softmax: running
+    row max with rescaling of the accumulated numerator/denominator
+  * double-buffered chunk DMA (msgs/logits/dst) to hide HBM latency
+  * empty dst-row tiles skip all work (load-bearing for sparse row spaces)
+  * transposed one-hot [BN, BE] built by broadcast compare; per-edge softmax
+    scaling folds into its columns so (onehotT*p) @ msgs does gather-reduce
+    and scaling in one MXU shot; the backward is expressed entirely in
+    lane-row form with no cross-lane reshapes or explicit transposes
 
-HBM traffic ~= read(msgs) + 2*read(logits) + write(out): the roofline for
-this op.
-
-Mosaic layout rules shape the implementation:
-  * feature dim D must be a multiple of 128 (hidden=128 default)
-  * per-edge scalars (logits, dst) live in HBM as [E/128, 128] lane-rows;
-    chunks are DMA'd as (BE/128, 128) blocks at 128-aligned starts and
-    lane-concatenated to a (1, BE) row — no cross-lane reshapes
-  * the one-hot is built TRANSPOSED: onehotT[n, e] = (dst[e] == row_base+n)
-    via a (BN,1) x (1,BE) broadcast compare; per-edge softmax scaling folds
-    into the one-hot columns, so the MXU matmul (onehotT*p) @ msgs does
-    scatter-reduce and scaling in one shot
-  * column<->row conversions go through an identity matmul (MXU transpose)
-  * chunk windows of adjacent tiles can overlap by <128 edges; out-of-tile
-    lanes are masked by the one-hot, and the backward merges overlapping
-    edge-gradient writes read-modify-write (the sequential TPU grid makes
-    the previous tile's writes visible)
+Mosaic layout rules honored: feature dim D % 128 == 0; per-edge scalars live
+in HBM as [E/128, 128] lane-rows, chunks DMA'd at 128-aligned starts
+(out-of-tile lanes masked by the one-hot); residual outputs padded to
+8-sublane blocks. Chunk windows of adjacent tiles may overlap by <128 edges;
+the backward merges overlapping edge-gradient writes read-modify-write (the
+sequential TPU grid makes the previous tile's writes visible).
 
 The custom VJP recomputes alpha from saved (row_max, row_sum) residuals — no
-[E] softmax array ever hits HBM.
+[E] softmax array ever hits HBM. A plain segment-sum kernel + CSC-ordered
+gather VJP (gather_rows_csc) route the source-feature gather's transpose
+around XLA's serial scatter as well.
 """
 from __future__ import annotations
 
@@ -42,12 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e9
 EPS = 1e-16
-EXP_CLAMP = 60.0  # out-of-tile lanes would overflow exp otherwise
+EXP_CLAMP = 60.0  # clamp exp args: out-of-tile/empty-row lanes would overflow
 
 LANE = 128
 BN = 256   # dst rows per program
 BE = 512   # edges per inner chunk (multiple of LANE)
 BR = BE // LANE
+NBUF = 2   # chunk DMA double buffering
 
 
 def _tile_range(off_ref, i):
@@ -57,9 +56,9 @@ def _tile_range(off_ref, i):
     return start, end, start_al, pl.cdiv(end - start_al, BE)
 
 
-def _lane_concat(block_ref):
-    """(BR, LANE) VMEM block -> (1, BE) row via lane concatenation."""
-    rows = [block_ref[r : r + 1, :] for r in range(BR)]
+def _lane_concat(block):
+    """(BR, LANE) -> (1, BE) row via lane concatenation."""
+    rows = [block[r : r + 1, :] for r in range(BR)]
     return jnp.concatenate(rows, axis=1)
 
 
@@ -75,84 +74,115 @@ def _onehot_t(dst_row, row_base):
     return rows == dst_row  # (1, BE) broadcasts against (BN, BE)
 
 
+def _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem, ids_ref, ids_vmem,
+                sems, logits_ref=None, logits_vmem=None):
+    s = start_al + c * BE
+    r = s // LANE
+    dmas = [
+        pltpu.make_async_copy(
+            msgs_ref.at[pl.ds(s, BE), :], msgs_vmem.at[slot], sems.at[slot, 0]
+        ),
+        pltpu.make_async_copy(
+            ids_ref.at[pl.ds(r, BR), :], ids_vmem.at[slot], sems.at[slot, 1]
+        ),
+    ]
+    if logits_ref is not None:
+        dmas.append(
+            pltpu.make_async_copy(
+                logits_ref.at[pl.ds(r, BR), :], logits_vmem.at[slot],
+                sems.at[slot, 2],
+            )
+        )
+    return dmas
+
+
+# ---------------------------------------------------------------------------
+# forward: online-softmax segment aggregation
+# ---------------------------------------------------------------------------
+
 def _fwd_kernel(
     off_ref,          # scalar prefetch: row offsets [N_pad + 1] (SMEM)
     msgs_ref,         # [E_pad, D] HBM
     logits_ref,       # [E_pad/LANE, LANE] HBM
     dst_ref,          # [E_pad/LANE, LANE] HBM (int32)
     out_ref,          # [BN, D] VMEM block
-    max_ref,          # [BN] VMEM block
-    sum_ref,          # [BN] VMEM block
-    msgs_vmem,        # scratch [BE, D]
-    logits_vmem,      # scratch [BR, LANE]
-    dst_vmem,         # scratch [BR, LANE] int32
-    sems,             # DMA semaphores (3,)
+    max_ref,          # [8, BN] VMEM block (sublane 0 meaningful)
+    sum_ref,          # [8, BN] VMEM block
+    msgs_vmem,        # scratch [NBUF, BE, D]
+    logits_vmem,      # scratch [NBUF, BR, LANE]
+    dst_vmem,         # scratch [NBUF, BR, LANE] int32
+    sems,             # DMA semaphores (NBUF, 3)
 ):
     i = pl.program_id(0)
     start, end, start_al, nchunks = _tile_range(off_ref, i)
     row_base = i * BN
 
-    def load_chunk(c):
-        s = start_al + c * BE
-        r = s // LANE
-        cp1 = pltpu.make_async_copy(
-            msgs_ref.at[pl.ds(s, BE), :], msgs_vmem, sems.at[0]
-        )
-        cp2 = pltpu.make_async_copy(
-            logits_ref.at[pl.ds(r, BR), :], logits_vmem, sems.at[1]
-        )
-        cp3 = pltpu.make_async_copy(
-            dst_ref.at[pl.ds(r, BR), :], dst_vmem, sems.at[2]
-        )
-        cp1.start(); cp2.start(); cp3.start()
-        cp1.wait(); cp2.wait(); cp3.wait()
+    def start_chunk(c, slot):
+        for dma in _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                               dst_ref, dst_vmem, sems, logits_ref,
+                               logits_vmem):
+            dma.start()
 
-    # ---- phase 1: per-row max ----
-    def max_body(c, row_max):
-        load_chunk(c)
-        onehot_t = _onehot_t(_lane_concat(dst_vmem), row_base)   # [BN, BE]
-        l_row = _lane_concat(logits_vmem)                        # [1, BE]
-        contrib = jnp.where(onehot_t, l_row, NEG_BIG)            # [BN, BE]
-        return jnp.maximum(row_max, jnp.max(contrib, axis=1))    # [BN]
+    def wait_chunk(c, slot):
+        for dma in _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                               dst_ref, dst_vmem, sems, logits_ref,
+                               logits_vmem):
+            dma.wait()
 
-    row_max = jax.lax.fori_loop(
-        0, nchunks, max_body, jnp.full((BN,), NEG_BIG, dtype=jnp.float32)
-    )
+    @pl.when(end > start)
+    def _nonempty():
+        start_chunk(0, 0)
 
-    # ---- phase 2: accumulate numerator / denominator ----
-    def acc_body(c, carry):
-        acc, row_sum = carry
-        load_chunk(c)
-        onehot_t = _onehot_t(_lane_concat(dst_vmem), row_base)
-        l_row = _lane_concat(logits_vmem)
-        # per-edge row max: project row_max through the one-hot
-        m_row = jnp.max(jnp.where(onehot_t, row_max[:, None], NEG_BIG),
-                        axis=0, keepdims=True)                   # [1, BE]
-        in_tile = onehot_t.any(axis=0, keepdims=True)            # [1, BE]
-        p_row = jnp.exp(jnp.minimum(l_row - m_row, EXP_CLAMP))
-        p_row = jnp.where(in_tile, p_row, 0.0)                   # [1, BE]
-        oh_p = onehot_t.astype(jnp.float32) * p_row              # [BN, BE]
-        row_sum = row_sum + jnp.sum(oh_p, axis=1)                # [BN]
-        acc = acc + jax.lax.dot_general(
-            oh_p,
-            msgs_vmem[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),          # [BN, D]
-            preferred_element_type=jnp.float32,
+        def body(c, carry):
+            acc, row_sum, m_old = carry
+            slot = jax.lax.rem(c, NBUF)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+            wait_chunk(c, slot)
+
+            onehot_t = _onehot_t(_lane_concat(dst_vmem[slot]), row_base)
+            l_row = _lane_concat(logits_vmem[slot])              # [1, BE]
+            in_tile = onehot_t.any(axis=0, keepdims=True)        # [1, BE]
+
+            m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
+            m_new = jnp.maximum(m_old, m_chunk)                  # [BN]
+            scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))     # [BN]
+            acc = acc * scale[:, None]
+            row_sum = row_sum * scale
+
+            m_e = jnp.max(jnp.where(onehot_t, m_new[:, None], NEG_BIG),
+                          axis=0, keepdims=True)                 # [1, BE]
+            p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
+            p_row = jnp.where(in_tile, p_row, 0.0)
+            w = onehot_t.astype(jnp.float32) * p_row             # [BN, BE]
+            row_sum = row_sum + jnp.sum(w, axis=1)
+            acc = acc + jax.lax.dot_general(
+                w, msgs_vmem[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, row_sum, m_new
+
+        acc, row_sum, row_max = jax.lax.fori_loop(
+            0, nchunks, body,
+            (
+                jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+                jnp.zeros((BN,), dtype=jnp.float32),
+                jnp.full((BN,), NEG_BIG, dtype=jnp.float32),
+            ),
         )
-        return acc, row_sum
+        out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+        max_ref[0:1, :] = row_max[None, :]
+        sum_ref[0:1, :] = row_sum[None, :]
 
-    acc, row_sum = jax.lax.fori_loop(
-        0,
-        nchunks,
-        acc_body,
-        (
-            jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
-            jnp.zeros((BN,), dtype=jnp.float32),
-        ),
-    )
-    out_ref[:, :] = acc / (row_sum + EPS)[:, None]
-    max_ref[0:1, :] = row_max[None, :]
-    sum_ref[0:1, :] = row_sum[None, :]
+    @pl.when(end <= start)
+    def _empty():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        max_ref[0:1, :] = jnp.full((1, BN), NEG_BIG, dtype=jnp.float32)
+        sum_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
 
 
 def _pad_edges(msgs, logits, dst, n_rows):
@@ -192,14 +222,12 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
         ],
     )
-    # residuals padded to 8-sublane blocks (Mosaic block-shape rule); only
-    # sublane 0 of each tile's block is meaningful
     out, row_max, row_sum = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
@@ -213,26 +241,30 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
     return out, row_max, row_sum
 
 
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
 def _bwd_kernel(
     off_ref,
     msgs_ref,         # [E_pad, D] HBM
     logits_ref,       # [E_pad/LANE, LANE] HBM
     dst_ref,          # [E_pad/LANE, LANE] HBM
-    ident_ref,        # [BE, BE] VMEM identity (col<->row MXU transpose)
-    rmax_ref,         # [BN] VMEM block
-    rsum_ref,         # [BN] VMEM block
+    rmax_ref,         # [8, BN] VMEM block
+    rsum_ref,         # [8, BN] VMEM block
     out_ref,          # [BN, D] VMEM block (primal output)
     g_ref,            # [BN, D] VMEM block (cotangent)
     dmsgs_ref,        # [E_pad, D] HBM output
     dlogits_ref,      # [E_pad/LANE, LANE] HBM output
-    msgs_vmem,
-    logits_vmem,
-    dst_vmem,
-    dmsgs_vmem,
-    dmsgs_old,
-    dlogits_vmem,
-    dlogits_old,
-    sems,
+    msgs_vmem,        # [NBUF, BE, D]
+    logits_vmem,      # [NBUF, BR, LANE]
+    dst_vmem,         # [NBUF, BR, LANE]
+    dmsgs_old,        # [NBUF, BE, D]
+    dlog_old,         # [NBUF, BR, LANE]
+    dmsgs_out_vmem,   # [BE, D]
+    dlog_out_vmem,    # [BR, LANE]
+    sems,             # (NBUF, 5)
+    wsems,            # (2,) write semaphores
 ):
     i = pl.program_id(0)
     start, end, start_al, nchunks = _tile_range(off_ref, i)
@@ -242,87 +274,110 @@ def _bwd_kernel(
     row_max_v = rmax_ref[0, :]                            # [BN]
     inv_sum = 1.0 / (rsum_ref[0, :] + EPS)                # [BN]
 
-    def body(c, _):
+    def start_chunk(c, slot):
         s = start_al + c * BE
         r = s // LANE
-        cp1 = pltpu.make_async_copy(msgs_ref.at[pl.ds(s, BE), :], msgs_vmem,
-                                    sems.at[0])
-        cp2 = pltpu.make_async_copy(logits_ref.at[pl.ds(r, BR), :],
-                                    logits_vmem, sems.at[1])
-        cp3 = pltpu.make_async_copy(dst_ref.at[pl.ds(r, BR), :], dst_vmem,
-                                    sems.at[2])
-        cp6 = pltpu.make_async_copy(dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old,
-                                    sems.at[3])
-        cp7 = pltpu.make_async_copy(dlogits_ref.at[pl.ds(r, BR), :],
-                                    dlogits_old, sems.at[4])
-        cp1.start(); cp2.start(); cp3.start(); cp6.start(); cp7.start()
-        cp1.wait(); cp2.wait(); cp3.wait(); cp6.wait(); cp7.wait()
+        for dma in _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                               dst_ref, dst_vmem, sems, logits_ref,
+                               logits_vmem):
+            dma.start()
+        pltpu.make_async_copy(
+            dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot], sems.at[slot, 3]
+        ).start()
+        pltpu.make_async_copy(
+            dlogits_ref.at[pl.ds(r, BR), :], dlog_old.at[slot],
+            sems.at[slot, 4],
+        ).start()
 
-        onehot_t = _onehot_t(_lane_concat(dst_vmem), row_base)   # [BN, BE]
-        ohf = onehot_t.astype(jnp.float32)
-        in_tile = onehot_t.any(axis=0, keepdims=True)            # [1, BE]
-        l_row = _lane_concat(logits_vmem)                        # [1, BE]
-        m_row = jnp.max(jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
-                        axis=0, keepdims=True)
-        inv_row = jax.lax.dot_general(
-            inv_sum[None, :], ohf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [1, BE]
-        p_row = jnp.exp(jnp.minimum(l_row - m_row, EXP_CLAMP)) * inv_row
-        p_row = jnp.where(in_tile, p_row, 0.0)
+    def wait_chunk(c, slot):
+        s = start_al + c * BE
+        r = s // LANE
+        for dma in _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                               dst_ref, dst_vmem, sems, logits_ref,
+                               logits_vmem):
+            dma.wait()
+        pltpu.make_async_copy(
+            dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot], sems.at[slot, 3]
+        ).wait()
+        pltpu.make_async_copy(
+            dlogits_ref.at[pl.ds(r, BR), :], dlog_old.at[slot],
+            sems.at[slot, 4],
+        ).wait()
 
-        oh_p = ohf * p_row                                        # [BN, BE]
-        # d_msgs[e] = p[e] * g[dst[e]] = (oh_p)^T @ g
-        new_dmsgs = jax.lax.dot_general(
-            oh_p, g_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [BE, D]
-        # per-edge gathered g rows (unscaled) for msgs . g
-        g_e = jax.lax.dot_general(
-            ohf, g_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [BE, D]
-        msg_dot_col = jnp.sum(msgs_vmem[:, :] * g_e, axis=1,
-                              keepdims=True)                      # [BE, 1]
-        msg_dot_row = jax.lax.dot_general(
-            msg_dot_col, ident_ref[:, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [1, BE]
-        dot_e_row = jax.lax.dot_general(
-            dot_r[None, :], ohf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [1, BE]
-        dlog_row = p_row * (msg_dot_row - dot_e_row)              # [1, BE]
-
-        # merge with previous values for out-of-tile lanes
-        in_tile_colv = jax.lax.dot_general(
-            ident_ref[:, :], in_tile.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [BE, 1]
-        dmsgs_vmem[:, :] = jnp.where(
-            in_tile_colv > 0.5, new_dmsgs, dmsgs_old[:, :]
+    def write_chunk(c):
+        s = start_al + c * BE
+        r = s // LANE
+        w1 = pltpu.make_async_copy(
+            dmsgs_out_vmem, dmsgs_ref.at[pl.ds(s, BE), :], wsems.at[0]
         )
-        dlog_block = _row_to_block(dlog_row, jnp.float32)
-        keep_block = _row_to_block(in_tile.astype(jnp.float32), jnp.float32)
-        dlogits_vmem[:, :] = jnp.where(
-            keep_block > 0.5, dlog_block, dlogits_old[:, :]
+        w2 = pltpu.make_async_copy(
+            dlog_out_vmem, dlogits_ref.at[pl.ds(r, BR), :], wsems.at[1]
         )
+        w1.start(); w2.start()
+        w1.wait(); w2.wait()
 
-        cp4 = pltpu.make_async_copy(dmsgs_vmem, dmsgs_ref.at[pl.ds(s, BE), :],
-                                    sems.at[0])
-        cp5 = pltpu.make_async_copy(dlogits_vmem,
-                                    dlogits_ref.at[pl.ds(r, BR), :], sems.at[1])
-        cp4.start(); cp5.start()
-        cp4.wait(); cp5.wait()
-        return 0
+    @pl.when(end > start)
+    def _nonempty():
+        start_chunk(0, 0)
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+        def body(c, _):
+            slot = jax.lax.rem(c, NBUF)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+            wait_chunk(c, slot)
+
+            onehot_t = _onehot_t(_lane_concat(dst_vmem[slot]), row_base)
+            ohf = onehot_t.astype(jnp.float32)
+            in_tile = onehot_t.any(axis=0, keepdims=True)        # [1, BE]
+            l_row = _lane_concat(logits_vmem[slot])              # [1, BE]
+            m_e = jnp.max(jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
+                          axis=0, keepdims=True)
+            inv_e = jnp.max(
+                jnp.where(onehot_t, inv_sum[:, None], 0.0), axis=0,
+                keepdims=True,
+            )                                                     # [1, BE]
+            p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP)) * inv_e
+            p_row = jnp.where(in_tile, p_row, 0.0)
+            w = ohf * p_row                                       # [BN, BE]
+
+            # d_msgs[e] = p[e] * g[dst[e]] = w^T @ g
+            new_dmsgs = jax.lax.dot_general(
+                w, g_ref[:, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [BE, D]
+            # d_logit[e] = p[e] * (msgs[e].g[dst[e]] - out[dst[e]].g[dst[e]])
+            #            = sum_n w[n,e] * (M2[n,e] - dot_r[n])
+            m2 = jax.lax.dot_general(
+                g_ref[:, :], msgs_vmem[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [BN, BE]
+            dlog_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
+                               keepdims=True)                     # [1, BE]
+
+            # merge with previous values on out-of-tile lanes (boundary
+            # overlap with neighboring tiles' chunk windows)
+            in_col = jax.lax.dot_general(
+                ohf, jnp.ones((BN, 1), dtype=jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [BE, 1]
+            dmsgs_out_vmem[:, :] = jnp.where(
+                in_col > 0.5, new_dmsgs, dmsgs_old[slot]
+            )
+            keep_block = _row_to_block(in_tile.astype(jnp.float32), jnp.float32)
+            dlog_out_vmem[:, :] = jnp.where(
+                keep_block > 0.5, _row_to_block(dlog_row, jnp.float32),
+                dlog_old[slot],
+            )
+            write_chunk(c)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
@@ -332,7 +387,6 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
     n_tiles = n_rows // BN
     msgs_p, logits_p, dst_p = _pad_edges(msgs, logits, dst, n_rows)
     e_pad = msgs_p.shape[0]
-    ident = jnp.eye(BE, dtype=jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -341,8 +395,6 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((BE, BE), lambda i, off: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, BN), lambda i, off: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, BN), lambda i, off: (i, 0),
@@ -357,14 +409,15 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.float32),
             pltpu.VMEM((BE, d), jnp.float32),
             pltpu.VMEM((BR, LANE), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.int32),
-            pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((NBUF, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dmsgs, dlogits = pl.pallas_call(
@@ -381,7 +434,6 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
         msgs_p,
         logits_p,
         dst_p,
-        ident,
         row_max,
         row_sum,
         out,
@@ -427,7 +479,7 @@ fused_segment_softmax_spmm.defvjp(_fssp_fwd, _fssp_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Plain segment-sum kernel + gather-with-Pallas-scatter VJP
+# Plain segment-sum kernel + gather-with-Pallas-scatter VJP (CSC ordering)
 #
 # XLA lowers scatter-add on TPU to a per-element serial loop, which made the
 # gather's transpose (d_x[src[e]] += d_msgs[e]) dominate the backward. This
@@ -441,36 +493,53 @@ def _segsum_kernel(
     vals_ref,         # [E_pad, D] HBM (src-sorted order)
     ids_ref,          # [E_pad/LANE, LANE] HBM (src ids, ascending)
     out_ref,          # [BN, D] VMEM block
-    vals_vmem,
-    ids_vmem,
-    sems,
+    vals_vmem,        # [NBUF, BE, D]
+    ids_vmem,         # [NBUF, BR, LANE]
+    sems,             # (NBUF, 2)
 ):
     i = pl.program_id(0)
     start, end, start_al, nchunks = _tile_range(off_ref, i)
     row_base = i * BN
 
-    def body(c, acc):
-        s = start_al + c * BE
-        r = s // LANE
-        cp1 = pltpu.make_async_copy(vals_ref.at[pl.ds(s, BE), :], vals_vmem,
-                                    sems.at[0])
-        cp2 = pltpu.make_async_copy(ids_ref.at[pl.ds(r, BR), :], ids_vmem,
-                                    sems.at[1])
-        cp1.start(); cp2.start()
-        cp1.wait(); cp2.wait()
-        onehot_t = _onehot_t(_lane_concat(ids_vmem), row_base)
-        return acc + jax.lax.dot_general(
-            onehot_t.astype(jnp.float32),
-            vals_vmem[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def start_chunk(c, slot):
+        for dma in _chunk_dmas(start_al, c, slot, vals_ref, vals_vmem,
+                               ids_ref, ids_vmem, sems):
+            dma.start()
 
-    acc = jax.lax.fori_loop(
-        0, nchunks, body,
-        jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
-    )
-    out_ref[:, :] = acc
+    def wait_chunk(c, slot):
+        for dma in _chunk_dmas(start_al, c, slot, vals_ref, vals_vmem,
+                               ids_ref, ids_vmem, sems):
+            dma.wait()
+
+    @pl.when(end > start)
+    def _nonempty():
+        start_chunk(0, 0)
+
+        def body(c, acc):
+            slot = jax.lax.rem(c, NBUF)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+            wait_chunk(c, slot)
+            onehot_t = _onehot_t(_lane_concat(ids_vmem[slot]), row_base)
+            return acc + jax.lax.dot_general(
+                onehot_t.astype(jnp.float32),
+                vals_vmem[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nchunks, body,
+            jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+        )
+        out_ref[:, :] = acc
+
+    @pl.when(end <= start)
+    def _empty():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
@@ -493,9 +562,9 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     (out,) = pl.pallas_call(
