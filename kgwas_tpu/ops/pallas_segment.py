@@ -143,8 +143,8 @@ def _fwd_kernel(
 
             wait_chunk(c, slot)
 
-            onehot_t = _onehot_t(_lane_concat(dst_vmem[slot]), row_base)
-            l_row = _lane_concat(logits_vmem[slot])              # [1, BE]
+            onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+            l_row = _lane_concat(logits_vmem.at[slot])              # [1, BE]
             in_tile = onehot_t.any(axis=0, keepdims=True)        # [1, BE]
 
             m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
@@ -329,10 +329,10 @@ def _bwd_kernel(
 
             wait_chunk(c, slot)
 
-            onehot_t = _onehot_t(_lane_concat(dst_vmem[slot]), row_base)
+            onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
             ohf = onehot_t.astype(jnp.float32)
             in_tile = onehot_t.any(axis=0, keepdims=True)        # [1, BE]
-            l_row = _lane_concat(logits_vmem[slot])              # [1, BE]
+            l_row = _lane_concat(logits_vmem.at[slot])              # [1, BE]
             m_e = jnp.max(jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
                           axis=0, keepdims=True)
             inv_e = jnp.max(
@@ -523,7 +523,7 @@ def _segsum_kernel(
                 start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
 
             wait_chunk(c, slot)
-            onehot_t = _onehot_t(_lane_concat(ids_vmem[slot]), row_base)
+            onehot_t = _onehot_t(_lane_concat(ids_vmem.at[slot]), row_base)
             return acc + jax.lax.dot_general(
                 onehot_t.astype(jnp.float32),
                 vals_vmem[slot],
