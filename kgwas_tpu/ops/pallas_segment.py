@@ -274,6 +274,10 @@ def _bwd_kernel(
     row_max_v = rmax_ref[0, :]                            # [BN]
     inv_sum = 1.0 / (rsum_ref[0, :] + EPS)                # [BN]
 
+    def is_boundary(c):
+        s = start_al + c * BE
+        return jnp.logical_or(s < start, s + BE > end)
+
     def start_chunk(c, slot):
         s = start_al + c * BE
         r = s // LANE
@@ -281,13 +285,19 @@ def _bwd_kernel(
                                dst_ref, dst_vmem, sems, logits_ref,
                                logits_vmem):
             dma.start()
-        pltpu.make_async_copy(
-            dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot], sems.at[slot, 3]
-        ).start()
-        pltpu.make_async_copy(
-            dlogits_ref.at[pl.ds(r, BR), :], dlog_old.at[slot],
-            sems.at[slot, 4],
-        ).start()
+
+        # merge reads only needed where the chunk window crosses the tile
+        # boundary (<128-edge overlap with neighboring tiles)
+        @pl.when(is_boundary(c))
+        def _():
+            pltpu.make_async_copy(
+                dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                sems.at[slot, 3],
+            ).start()
+            pltpu.make_async_copy(
+                dlogits_ref.at[pl.ds(r, BR), :], dlog_old.at[slot],
+                sems.at[slot, 4],
+            ).start()
 
     def wait_chunk(c, slot):
         s = start_al + c * BE
@@ -296,25 +306,31 @@ def _bwd_kernel(
                                dst_ref, dst_vmem, sems, logits_ref,
                                logits_vmem):
             dma.wait()
-        pltpu.make_async_copy(
-            dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot], sems.at[slot, 3]
-        ).wait()
-        pltpu.make_async_copy(
-            dlogits_ref.at[pl.ds(r, BR), :], dlog_old.at[slot],
-            sems.at[slot, 4],
-        ).wait()
 
-    def write_chunk(c):
+        @pl.when(is_boundary(c))
+        def _():
+            pltpu.make_async_copy(
+                dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                sems.at[slot, 3],
+            ).wait()
+            pltpu.make_async_copy(
+                dlogits_ref.at[pl.ds(r, BR), :], dlog_old.at[slot],
+                sems.at[slot, 4],
+            ).wait()
+
+    def write_dmas(c, slot):
         s = start_al + c * BE
         r = s // LANE
-        w1 = pltpu.make_async_copy(
-            dmsgs_out_vmem, dmsgs_ref.at[pl.ds(s, BE), :], wsems.at[0]
+        return (
+            pltpu.make_async_copy(
+                dmsgs_out_vmem.at[slot], dmsgs_ref.at[pl.ds(s, BE), :],
+                wsems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                dlog_out_vmem.at[slot], dlogits_ref.at[pl.ds(r, BR), :],
+                wsems.at[slot, 1],
+            ),
         )
-        w2 = pltpu.make_async_copy(
-            dlog_out_vmem, dlogits_ref.at[pl.ds(r, BR), :], wsems.at[1]
-        )
-        w1.start(); w2.start()
-        w1.wait(); w2.wait()
 
     @pl.when(end > start)
     def _nonempty():
@@ -328,6 +344,13 @@ def _bwd_kernel(
                 start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
 
             wait_chunk(c, slot)
+
+            # before overwriting this slot's output buffers, wait for the
+            # write issued NBUF chunks ago
+            @pl.when(c >= NBUF)
+            def _():
+                for wdma in write_dmas(c - NBUF, slot):
+                    wdma.wait()
 
             onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
             ohf = onehot_t.astype(jnp.float32)
@@ -361,23 +384,42 @@ def _bwd_kernel(
 
             # merge with previous values on out-of-tile lanes (boundary
             # overlap with neighboring tiles' chunk windows)
-            in_col = jax.lax.dot_general(
-                ohf, jnp.ones((BN, 1), dtype=jnp.float32),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                     # [BE, 1]
-            dmsgs_out_vmem[:, :] = jnp.where(
-                in_col > 0.5, new_dmsgs, dmsgs_old[slot]
-            )
-            keep_block = _row_to_block(in_tile.astype(jnp.float32), jnp.float32)
-            dlog_out_vmem[:, :] = jnp.where(
-                keep_block > 0.5, _row_to_block(dlog_row, jnp.float32),
-                dlog_old[slot],
-            )
-            write_chunk(c)
+            @pl.when(is_boundary(c))
+            def _():
+                in_col = jax.lax.dot_general(
+                    ohf, jnp.ones((BN, 1), dtype=jnp.float32),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                 # [BE, 1]
+                dmsgs_out_vmem[slot] = jnp.where(
+                    in_col > 0.5, new_dmsgs, dmsgs_old[slot]
+                )
+                keep_block = _row_to_block(
+                    in_tile.astype(jnp.float32), jnp.float32
+                )
+                dlog_out_vmem[slot] = jnp.where(
+                    keep_block > 0.5, _row_to_block(dlog_row, jnp.float32),
+                    dlog_old[slot],
+                )
+
+            @pl.when(jnp.logical_not(is_boundary(c)))
+            def _():
+                dmsgs_out_vmem[slot] = new_dmsgs
+                dlog_out_vmem[slot] = _row_to_block(dlog_row, jnp.float32)
+
+            for wdma in write_dmas(c, slot):
+                wdma.start()
             return 0
 
         jax.lax.fori_loop(0, nchunks, body, 0)
+        # drain outstanding writes
+        for tail in range(NBUF):
+            cc = nchunks - NBUF + tail
+
+            @pl.when(cc >= 0)
+            def _(cc=cc):
+                for wdma in write_dmas(cc, jax.lax.rem(cc, NBUF)):
+                    wdma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
@@ -414,10 +456,10 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
             pltpu.VMEM((NBUF, BE, d), jnp.float32),
             pltpu.VMEM((NBUF, BR, LANE), jnp.float32),
-            pltpu.VMEM((BE, d), jnp.float32),
-            pltpu.VMEM((BR, LANE), jnp.float32),
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, 5)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     dmsgs, dlogits = pl.pallas_call(
