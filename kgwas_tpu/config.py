@@ -38,6 +38,10 @@ class ModelConfig:
     use_pallas: bool = False         # fused segment-softmax-SpMM kernel for
                                      # the GAT aggregation (requires heads=1,
                                      # softmax mode, node_pad_multiple=256)
+    pallas_mode: str = "merged"      # "merged": one kernel per dst type per
+                                     # layer over concatenated relation
+                                     # streams (fastest); "relation": one
+                                     # kernel per relation
 
     def to_dict(self):
         return dataclasses.asdict(self)

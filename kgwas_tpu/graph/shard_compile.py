@@ -99,7 +99,26 @@ class CompiledGraph:
                 k: (r.csc_perm, r.csc_src_sorted, r.csc_offsets)
                 for k, r in self.relations.items()
             },
+            "merged": self.merged_layouts(),
         }
+
+    _merged_cache = None
+
+    def merged_layouts(self):
+        """Per-dst-type merged edge layouts (graph/merged_layout.py), built
+        lazily and cached; None when CSR wasn't built or node padding isn't
+        kernel-tile aligned (node_pad_multiple=256)."""
+        if not self.relations:
+            return None
+        if next(iter(self.relations.values())).row_offsets is None:
+            return None
+        if any(n % 256 != 0 for n in self.padded_nodes.values()):
+            return None
+        if self._merged_cache is None:
+            from .merged_layout import build_merged_layouts
+
+            self._merged_cache = build_merged_layouts(self)
+        return self._merged_cache
 
 
 def compile_graph(

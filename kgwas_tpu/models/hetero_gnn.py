@@ -179,6 +179,70 @@ def apply_encoders(
     return out
 
 
+def _merged_path_active(cfg: ModelConfig, meta: dict, raw_attention,
+                        collect_alpha, training) -> bool:
+    return (
+        cfg.use_pallas
+        and cfg.pallas_mode == "merged"
+        and cfg.gnn_backbone == "GAT"
+        and cfg.gnn_aggr == "sum"
+        and cfg.gat_num_head == 1
+        and not cfg.sigmoid_gat
+        and not raw_attention
+        and not collect_alpha
+        and not (training and cfg.dropout > 0.0)
+        and cfg.gnn_hidden_dim % 128 == 0
+        and meta.get("merged") is not None
+    )
+
+
+def apply_merged_gat_layer(
+    layer_params,
+    cfg: ModelConfig,
+    meta: dict,
+    h: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """One hetero GAT layer over merged per-dst-type edge streams: one
+    fused_gat_layer kernel + one CSC gather per destination type
+    (ops/pallas_gat_layer.py, graph/merged_layout.py)."""
+    import jax as _jax
+
+    from ..ops.pallas_gat_layer import fused_gat_layer
+    from ..ops.pallas_segment import gather_rows_csc
+
+    interpret = _jax.default_backend() != "tpu"
+    d = cfg.gnn_hidden_dim
+    out_dict = {}
+    for dst_t, L in meta["merged"].items():
+        xs_parts, att_rows, adst_parts = [], [], []
+        bias_sum = None
+        for slot, rk in enumerate(L.rel_keys):
+            rp = layer_params[rk]
+            src_t = L.src_types[slot]
+            xs_parts.append(h[src_t] @ rp["lin_src"]["w"])
+            att_rows.append(rp["att_src"].reshape(-1))
+            # a_dst = (h @ W_dst) . att_dst == h @ (W_dst @ att_dst):
+            # collapses the full dst projection into a matvec
+            v = rp["lin_dst"]["w"] @ rp["att_dst"].reshape(-1)
+            adst_parts.append(h[dst_t] @ v)
+            b = rp["bias"]
+            bias_sum = b if bias_sum is None else bias_sum + b
+        xs_all = jnp.concatenate(xs_parts, axis=0)
+        att = jnp.stack(att_rows, axis=0)
+        a_dst_all = jnp.concatenate(adst_parts, axis=0)
+        msgs = gather_rows_csc(
+            xs_all, jnp.asarray(L.src), L.csc_perm, L.csc_ids, L.csc_offsets,
+            L.n_src_total, interpret,
+        )
+        out_all = fused_gat_layer(
+            msgs, att, a_dst_all, L.dst, L.row_offsets, L.tile2rel,
+            L.n_rows_total, cfg.negative_slope, cfg.temperature, interpret,
+        )
+        out = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d).sum(axis=0)
+        out_dict[dst_t] = out + bias_sum
+    return out_dict
+
+
 def apply_hetero_layer(
     layer_params,
     cfg: ModelConfig,
@@ -191,6 +255,8 @@ def apply_hetero_layer(
     training: bool = False,
 ):
     """One HeteroConv application. Returns (out_dict, alpha_dict)."""
+    if _merged_path_active(cfg, meta, raw_attention, collect_alpha, training):
+        return apply_merged_gat_layer(layer_params, cfg, meta, h), {}
     rel_types = meta["rel_types"]
     num_edges = meta["num_edges"]
     padded_nodes = meta["padded_nodes"]

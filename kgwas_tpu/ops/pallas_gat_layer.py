@@ -1,0 +1,551 @@
+"""Fused merged-relation GAT layer kernel.
+
+One kernel call per destination node type per layer computes, over the
+merged edge stream of ALL relations targeting that type
+(graph/merged_layout.py):
+
+    z_e   = att_r . msgs_e + a_dst[dst_e]          (attention logit;
+                                                    att_r . xs_r[src] ==
+                                                    a_src_r[src], reference
+                                                    kgwas/conv.py:150-152)
+    l_e   = leaky_relu(z_e, slope) / temperature   (conv.py:217,223)
+    alpha = softmax_l over the dst segment          (per-relation: segments
+                                                    live in disjoint row
+                                                    blocks per relation)
+    out   = sum_e alpha_e * msgs_e                  (conv.py:227-228)
+
+compared to the per-relation pipeline this removes per-relation kernel
+launches, ALL a_src/a_dst scalar gathers (logits are produced on the fly
+from per-tile attention vectors — each 256-row tile belongs to exactly one
+relation, selected via a scalar-prefetched tile2rel map in the BlockSpec
+index functions), and the [E] logits arrays in HBM entirely.
+
+Same Mosaic discipline as pallas_segment.py: lane-row scalars, transposed
+one-hot, online softmax, double-buffered DMA, empty-tile skip, boundary
+merges in the backward.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_segment import (
+    BE,
+    BN,
+    BR,
+    EPS,
+    EXP_CLAMP,
+    LANE,
+    NBUF,
+    NEG_BIG,
+    _lane_concat,
+    _onehot_t,
+    _row_to_block,
+    _tile_range,
+)
+
+
+def _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem, dst_ref, dst_vmem,
+               sems):
+    s = start_al + c * BE
+    r = s // LANE
+    return [
+        pltpu.make_async_copy(
+            msgs_ref.at[pl.ds(s, BE), :], msgs_vmem.at[slot], sems.at[slot, 0]
+        ),
+        pltpu.make_async_copy(
+            dst_ref.at[pl.ds(r, BR), :], dst_vmem.at[slot], sems.at[slot, 1]
+        ),
+    ]
+
+
+def _logits_row(msgs_block, att_ref, a_dst_row, onehot_t, negative_slope,
+                temperature):
+    """[1, BE] attention logits for one chunk.
+
+    a_src part: att . msgs via MXU row-matmul; a_dst part: project the tile's
+    per-row vector through the one-hot.
+    """
+    a_src_row = jax.lax.dot_general(
+        att_ref[0:1, :], msgs_block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [1, BE]
+    a_dst_e = jax.lax.dot_general(
+        a_dst_row, onehot_t.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [1, BE]
+    z = a_src_row + a_dst_e
+    l = jnp.where(z >= 0, z, negative_slope * z)
+    return z, l / temperature
+
+
+def _make_fwd_kernel(negative_slope, temperature):
+    def kernel(
+        off_ref,          # prefetch: row offsets
+        t2r_ref,          # prefetch: tile -> relation slot (used by index maps)
+        msgs_ref,         # [E_pad, D] HBM
+        dst_ref,          # [E_pad/LANE, LANE] HBM
+        att_ref,          # [8, D] VMEM block (relation att vector, sublane 0)
+        adst_ref,         # [8, BN] VMEM block (a_dst rows of this tile)
+        out_ref,          # [BN, D] VMEM block
+        max_ref,          # [8, BN]
+        sum_ref,          # [8, BN]
+        msgs_vmem,
+        dst_vmem,
+        sems,
+    ):
+        i = pl.program_id(0)
+        start, end, start_al, nchunks = _tile_range(off_ref, i)
+        row_base = i * BN
+        a_dst_row = adst_ref[0:1, :]                        # [1, BN]
+
+        def start_chunk(c, slot):
+            for dma in _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                                  dst_ref, dst_vmem, sems):
+                dma.start()
+
+        def wait_chunk(c, slot):
+            for dma in _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                                  dst_ref, dst_vmem, sems):
+                dma.wait()
+
+        @pl.when(end > start)
+        def _nonempty():
+            start_chunk(0, 0)
+
+            def body(c, carry):
+                acc, row_sum, m_old = carry
+                slot = jax.lax.rem(c, NBUF)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+                wait_chunk(c, slot)
+
+                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+                in_tile = onehot_t.any(axis=0, keepdims=True)
+                _, l_row = _logits_row(
+                    msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
+                    negative_slope, temperature,
+                )
+
+                m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
+                m_new = jnp.maximum(m_old, m_chunk)
+                scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
+                acc = acc * scale[:, None]
+                row_sum = row_sum * scale
+
+                m_e = jnp.max(jnp.where(onehot_t, m_new[:, None], NEG_BIG),
+                              axis=0, keepdims=True)
+                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
+                p_row = jnp.where(in_tile, p_row, 0.0)
+                w = onehot_t.astype(jnp.float32) * p_row
+                row_sum = row_sum + jnp.sum(w, axis=1)
+                acc = acc + jax.lax.dot_general(
+                    w, msgs_vmem[slot],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return acc, row_sum, m_new
+
+            acc, row_sum, row_max = jax.lax.fori_loop(
+                0, nchunks, body,
+                (
+                    jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+                    jnp.zeros((BN,), dtype=jnp.float32),
+                    jnp.full((BN,), NEG_BIG, dtype=jnp.float32),
+                ),
+            )
+            out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+            max_ref[0:1, :] = row_max[None, :]
+            sum_ref[0:1, :] = row_sum[None, :]
+
+        @pl.when(end <= start)
+        def _empty():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+            max_ref[0:1, :] = jnp.full((1, BN), NEG_BIG, dtype=jnp.float32)
+            sum_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+
+    return kernel
+
+
+def _pad_edge_stream(msgs, dst, n_rows):
+    e = msgs.shape[0]
+    e_pad = ((e + BE - 1) // BE) * BE + BE
+    pad = e_pad - e
+    msgs = jnp.pad(msgs, ((0, pad), (0, 0)))
+    dst = jnp.pad(dst, ((0, pad),), constant_values=n_rows)
+    return msgs, dst.reshape(-1, LANE)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+)
+def _merged_forward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
+                    n_rows, negative_slope, temperature, interpret=False):
+    d = msgs.shape[1]
+    n_tiles = n_rows // BN
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda i, off, t2r: (t2r[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, d), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    out, row_max, row_sum = pl.pallas_call(
+        _make_fwd_kernel(negative_slope, temperature),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row_offsets, tile2rel, msgs_p, dst_p, att8, adst_tiles)
+    return out, row_max, row_sum
+
+
+def _make_bwd_kernel(negative_slope, temperature):
+    def kernel(
+        off_ref,
+        t2r_ref,
+        msgs_ref,         # [E_pad, D] HBM
+        dst_ref,          # [E_pad/LANE, LANE] HBM
+        att_ref,          # [8, D] block
+        adst_ref,         # [8, BN] block
+        rmax_ref,         # [8, BN] block
+        rsum_ref,         # [8, BN] block
+        out_ref,          # [BN, D] block (primal out)
+        g_ref,            # [BN, D] block (cotangent)
+        dmsgs_ref,        # [E_pad, D] HBM out
+        dadst_ref,        # [8, BN] block out
+        datt_ref,         # [8, D] block out (per tile; summed per rel outside)
+        msgs_vmem,
+        dst_vmem,
+        dmsgs_old,
+        dmsgs_out_vmem,   # [NBUF, BE, D]
+        sems,             # (NBUF, 3)
+        wsems,            # (NBUF,)
+    ):
+        i = pl.program_id(0)
+        start, end, start_al, nchunks = _tile_range(off_ref, i)
+        row_base = i * BN
+        a_dst_row = adst_ref[0:1, :]
+        att_row = att_ref[0:1, :]
+
+        dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
+        row_max_v = rmax_ref[0, :]
+        inv_sum = 1.0 / (rsum_ref[0, :] + EPS)
+
+        def is_boundary(c):
+            s = start_al + c * BE
+            return jnp.logical_or(s < start, s + BE > end)
+
+        def start_chunk(c, slot):
+            s = start_al + c * BE
+            for dma in _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                                  dst_ref, dst_vmem, sems):
+                dma.start()
+
+            @pl.when(is_boundary(c))
+            def _():
+                pltpu.make_async_copy(
+                    dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                    sems.at[slot, 2],
+                ).start()
+
+        def wait_chunk(c, slot):
+            s = start_al + c * BE
+            for dma in _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem,
+                                  dst_ref, dst_vmem, sems):
+                dma.wait()
+
+            @pl.when(is_boundary(c))
+            def _():
+                pltpu.make_async_copy(
+                    dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                    sems.at[slot, 2],
+                ).wait()
+
+        def write_dma(c, slot):
+            s = start_al + c * BE
+            return pltpu.make_async_copy(
+                dmsgs_out_vmem.at[slot], dmsgs_ref.at[pl.ds(s, BE), :],
+                wsems.at[slot],
+            )
+
+        @pl.when(end > start)
+        def _nonempty():
+            start_chunk(0, 0)
+
+            def body(c, carry):
+                dadst_acc, datt_acc = carry
+                slot = jax.lax.rem(c, NBUF)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+                wait_chunk(c, slot)
+
+                @pl.when(c >= NBUF)
+                def _():
+                    write_dma(c - NBUF, slot).wait()
+
+                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+                ohf = onehot_t.astype(jnp.float32)
+                in_tile = onehot_t.any(axis=0, keepdims=True)
+                z, l_row = _logits_row(
+                    msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
+                    negative_slope, temperature,
+                )
+                m_e = jnp.max(
+                    jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
+                    axis=0, keepdims=True,
+                )
+                inv_e = jnp.max(
+                    jnp.where(onehot_t, inv_sum[:, None], 0.0), axis=0,
+                    keepdims=True,
+                )
+                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP)) * inv_e
+                p_row = jnp.where(in_tile, p_row, 0.0)
+                w = ohf * p_row                                  # [BN, BE]
+
+                # d_l (pre-softmax logit grad), then d_z through leaky/T
+                m2 = jax.lax.dot_general(
+                    g_ref[:, :], msgs_vmem[slot],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                # [BN, BE]
+                dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
+                                 keepdims=True)                  # [1, BE]
+                dz_row = dl_row * jnp.where(z >= 0, 1.0, negative_slope) \
+                    / temperature
+                dz_row = jnp.where(in_tile, dz_row, 0.0)
+
+                # d_msgs = w^T @ g  +  dz^T att
+                new_dmsgs = jax.lax.dot_general(
+                    w, g_ref[:, :],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    dz_row, att_row,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                # [BE, D]
+
+                # d_a_dst[n] += sum_e onehot * dz
+                dadst_acc = dadst_acc + jnp.sum(
+                    ohf * dz_row, axis=1
+                )                                                # [BN]
+                # d_att += sum_e dz_e * msgs_e
+                datt_acc = datt_acc + jax.lax.dot_general(
+                    dz_row, msgs_vmem[slot],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                # [1, D]
+
+                @pl.when(is_boundary(c))
+                def _():
+                    in_col = jax.lax.dot_general(
+                        ohf, jnp.ones((BN, 1), dtype=jnp.float32),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dmsgs_out_vmem[slot] = jnp.where(
+                        in_col > 0.5, new_dmsgs, dmsgs_old[slot]
+                    )
+
+                @pl.when(jnp.logical_not(is_boundary(c)))
+                def _():
+                    dmsgs_out_vmem[slot] = new_dmsgs
+
+                write_dma(c, slot).start()
+                return dadst_acc, datt_acc
+
+            dadst_acc, datt_acc = jax.lax.fori_loop(
+                0, nchunks, body,
+                (
+                    jnp.zeros((BN,), dtype=jnp.float32),
+                    jnp.zeros((1, att_ref.shape[1]), dtype=jnp.float32),
+                ),
+            )
+            for tail in range(NBUF):
+                cc = nchunks - NBUF + tail
+
+                @pl.when(cc >= 0)
+                def _(cc=cc):
+                    write_dma(cc, jax.lax.rem(cc, NBUF)).wait()
+            dadst_ref[0:1, :] = dadst_acc[None, :]
+            datt_ref[0:1, :] = datt_acc
+
+        @pl.when(end <= start)
+        def _empty():
+            dadst_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+            datt_ref[0:1, :] = jnp.zeros(
+                (1, datt_ref.shape[1]), dtype=jnp.float32
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+)
+def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
+                     row_max, row_sum, out, g, n_rows, negative_slope,
+                     temperature, interpret=False):
+    d = msgs.shape[1]
+    n_tiles = n_rows // BN
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+    e_pad = msgs_p.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda i, off, t2r: (t2r[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, d), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, d), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, BN), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i, off, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
+        _make_bwd_kernel(negative_slope, temperature),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, d), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        row_offsets, tile2rel, msgs_p, dst_p, att8, adst_tiles,
+        row_max, row_sum, out, g,
+    )
+    e = msgs.shape[0]
+    return dmsgs[:e], dadst_tiles, datt_tiles
+
+
+def _prep_att8(att):
+    """[R, D] -> [R*8, D] (8-sublane blocks, sublane 0 meaningful)."""
+    r, d = att.shape
+    out = jnp.zeros((r * 8, d), dtype=jnp.float32)
+    return out.at[::8].set(att)
+
+
+def _prep_adst_tiles(a_dst_all, n_rows):
+    """[n_rows] -> [n_tiles*8, BN] (8-sublane blocks)."""
+    n_tiles = n_rows // BN
+    tiles = a_dst_all.reshape(n_tiles, BN)
+    out = jnp.zeros((n_tiles * 8, BN), dtype=jnp.float32)
+    return out.at[::8].set(tiles)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
+)
+def fused_gat_layer(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
+                    n_rows, negative_slope, temperature, interpret=False):
+    """Merged GAT layer aggregation (see module docstring).
+
+    msgs [E, D] (merged-gathered, D%128==0); att [R, D] per-relation
+    attention vectors; a_dst_all [n_rows] per-row dst-attention scalars.
+    dst_np/row_offsets_np/tile2rel_np: static numpy layout arrays.
+    n_rows = R * N_pad, multiple of 256. Returns out_all [n_rows, D].
+    """
+    out, _, _ = _merged_forward(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
+        jnp.asarray(dst_np), jnp.asarray(row_offsets_np),
+        jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
+        interpret,
+    )
+    return out
+
+
+def _fgl_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
+             n_rows, negative_slope, temperature, interpret):
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
+    out, row_max, row_sum = _merged_forward(
+        msgs, att8, adst_tiles, jnp.asarray(dst_np),
+        jnp.asarray(row_offsets_np), jnp.asarray(tile2rel_np), n_rows,
+        negative_slope, temperature, interpret,
+    )
+    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+
+
+def _fgl_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
+             temperature, interpret, residuals, g):
+    msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
+    dmsgs, dadst_tiles, datt_tiles = _merged_backward(
+        msgs, att8, adst_tiles, jnp.asarray(dst_np),
+        jnp.asarray(row_offsets_np), jnp.asarray(tile2rel_np), row_max,
+        row_sum, out, g, n_rows, negative_slope, temperature, interpret,
+    )
+    n_tiles = n_rows // BN
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    # per-tile att grads -> per-relation via a static 0/1 matrix
+    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
+    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
+    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    return dmsgs, d_att, d_a_dst
+
+
+fused_gat_layer.defvjp(_fgl_fwd, _fgl_bwd)

@@ -1,0 +1,173 @@
+"""Merged GAT layer kernel vs the per-relation XLA composition (interpret
+mode), including gradients through the custom VJP and the merged layout."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.graph.merged_layout import build_merged_layouts
+from kgwas_tpu.ops.pallas_gat_layer import fused_gat_layer
+from kgwas_tpu.ops.segment import (
+    edge_valid_mask,
+    gather_rows,
+    leaky_relu,
+    segment_softmax,
+    segment_sum,
+)
+
+D = 128
+SLOPE = 0.2
+TEMP = 1.0
+
+
+@pytest.fixture(scope="module")
+def world():
+    g = make_synthetic_kg(n_snp=120, n_gene=50, n_go=20, seed=31)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    layouts = build_merged_layouts(cg)
+    rng = np.random.default_rng(7)
+    # per-relation params: W_src (identity-free random), att_src, att_dst
+    params = {}
+    h = {t: jnp.asarray(rng.standard_normal((cg.padded_nodes[t], D))
+                        .astype(np.float32))
+         for t in cg.num_nodes}
+    for rk, r in cg.relations.items():
+        params[rk] = {
+            "w": jnp.asarray(rng.standard_normal((D, D)).astype(np.float32)
+                             * 0.1),
+            "att_src": jnp.asarray(rng.standard_normal(D).astype(np.float32)
+                                   * 0.1),
+            "att_dst_vec": jnp.asarray(
+                rng.standard_normal(D).astype(np.float32) * 0.1
+            ),
+        }
+    return cg, layouts, params, h
+
+
+def xla_reference_out(cg, params, h, dst_t):
+    """Sum over relations of per-relation GAT aggregation (XLA ops)."""
+    out = None
+    for rk, r in sorted(cg.relations.items()):
+        if r.dst_type != dst_t:
+            continue
+        p = params[rk]
+        xs = h[r.src_type] @ p["w"]
+        a_src = xs @ p["att_src"]
+        a_dst = h[dst_t] @ p["att_dst_vec"]
+        src = jnp.asarray(r.src.astype(np.int32))
+        dst = jnp.asarray(r.dst.astype(np.int32))
+        valid = edge_valid_mask(len(r.src), r.num_edges)
+        logits = leaky_relu(
+            gather_rows(a_src, src) + gather_rows(a_dst, dst), SLOPE
+        ) / TEMP
+        alpha = segment_softmax(logits, dst, cg.padded_nodes[dst_t], valid)
+        alpha = jnp.where(valid, alpha, 0.0)
+        o = segment_sum(gather_rows(xs, src) * alpha[:, None], dst,
+                        cg.padded_nodes[dst_t])
+        out = o if out is None else out + o
+    return out
+
+
+def merged_out(cg, L, params, h):
+    xs_parts, att_rows, adst_parts = [], [], []
+    for slot, rk in enumerate(L.rel_keys):
+        p = params[rk]
+        xs_parts.append(h[L.src_types[slot]] @ p["w"])
+        att_rows.append(p["att_src"])
+        adst_parts.append(h[L.dst_type] @ p["att_dst_vec"])
+    xs_all = jnp.concatenate(xs_parts, axis=0)
+    att = jnp.stack(att_rows, axis=0)
+    a_dst_all = jnp.concatenate(adst_parts, axis=0)
+    msgs = jnp.take(xs_all, jnp.asarray(L.src), axis=0)
+    out_all = fused_gat_layer(
+        msgs, att, a_dst_all, L.dst, L.row_offsets, L.tile2rel,
+        L.n_rows_total, SLOPE, TEMP, True,
+    )
+    R = len(L.rel_keys)
+    return out_all.reshape(R, L.n_rows_per_rel, D).sum(axis=0)
+
+
+def test_layout_invariants(world):
+    cg, layouts, params, h = world
+    for dst_t, L in layouts.items():
+        assert L.n_rows_total % 256 == 0
+        assert np.all(np.diff(L.row_offsets) >= 0)
+        assert L.row_offsets[-1] == len(L.src)
+        # every tile belongs to one relation
+        assert len(L.tile2rel) == L.n_rows_total // 256
+        # dst ids stay inside their slot's row block
+        for slot in range(len(L.rel_keys)):
+            lo, hi = L.edge_base[slot], L.edge_base[slot + 1]
+            dsts = L.dst[lo:hi]
+            assert dsts.min() >= slot * L.n_rows_per_rel
+            assert dsts.max() < (slot + 1) * L.n_rows_per_rel
+        # CSC is a permutation with ascending ids
+        assert np.all(np.sort(L.csc_perm) == np.arange(len(L.src)))
+        assert np.all(np.diff(L.csc_ids) >= 0)
+
+
+@pytest.mark.parametrize("dst_t", ["SNP", "Gene", "BiologicalProcess"])
+def test_merged_forward_matches_xla(world, dst_t):
+    cg, layouts, params, h = world
+    L = layouts[dst_t]
+    ref = np.asarray(xla_reference_out(cg, params, h, dst_t))
+    got = np.asarray(merged_out(cg, L, params, h))
+    n_real = cg.num_nodes[dst_t]
+    np.testing.assert_allclose(got[:n_real], ref[:n_real], rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_merged_grads_match_xla(world):
+    cg, layouts, params, h = world
+    dst_t = "Gene"
+    L = layouts[dst_t]
+    n_real = cg.num_nodes[dst_t]
+    rng = np.random.default_rng(9)
+    gmask = jnp.asarray(rng.standard_normal((n_real, D)).astype(np.float32))
+
+    def loss_ref(h_in):
+        out = xla_reference_out(cg, params, {**h, "Gene": h_in,
+                                             "SNP": h["SNP"]}, dst_t)
+        return jnp.sum(out[:n_real] * gmask)
+
+    def loss_merged(h_in):
+        out = merged_out(cg, L, params, {**h, "Gene": h_in})
+        return jnp.sum(out[:n_real] * gmask)
+
+    g_ref = jax.grad(loss_ref)(h["Gene"])
+    g_mer = jax.grad(loss_merged)(h["Gene"])
+    np.testing.assert_allclose(np.asarray(g_mer), np.asarray(g_ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_full_model_merged_matches_xla():
+    """End-to-end HeteroGNN: merged pallas path vs plain XLA path."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=41)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2)
+    cfg_m = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
+                        pallas_mode="merged")
+    params = init_hetero_gnn(jax.random.PRNGKey(5), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+
+    out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
+    out_m = np.asarray(apply_hetero_gnn(params, cfg_m, meta, arrays))
+    np.testing.assert_allclose(out_m[:n_real], out_x[:n_real],
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gm = jax.grad(lambda p: loss(p, cfg_m))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
