@@ -484,18 +484,19 @@ def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
 
 
 def _prep_att8(att):
-    """[R, D] -> [R*8, D] (8-sublane blocks, sublane 0 meaningful)."""
+    """[R, D] -> [R*8, D] (8-sublane blocks, sublane 0 meaningful). Dense
+    pad+reshape — XLA lowers strided scatter to a serial loop on TPU."""
     r, d = att.shape
-    out = jnp.zeros((r * 8, d), dtype=jnp.float32)
-    return out.at[::8].set(att)
+    return jnp.pad(att[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
+        r * 8, d
+    )
 
 
 def _prep_adst_tiles(a_dst_all, n_rows):
-    """[n_rows] -> [n_tiles*8, BN] (8-sublane blocks)."""
+    """[n_rows] -> [n_tiles*8, BN] (8-sublane blocks), scatter-free."""
     n_tiles = n_rows // BN
-    tiles = a_dst_all.reshape(n_tiles, BN)
-    out = jnp.zeros((n_tiles * 8, BN), dtype=jnp.float32)
-    return out.at[::8].set(tiles)
+    tiles = a_dst_all.reshape(n_tiles, 1, BN)
+    return jnp.pad(tiles, ((0, 0), (0, 7), (0, 0))).reshape(n_tiles * 8, BN)
 
 
 @functools.partial(
