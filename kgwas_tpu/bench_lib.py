@@ -82,20 +82,30 @@ def main():
         rng.integers(0, cg.num_nodes["SNP"], batch), dtype=jnp.int32
     )
 
-    # warmup / compile
-    for _ in range(3):
-        params, opt_state, loss = train_step(
-            params, opt_state, arrays, batch_idx, y_node, w_node
-        )
-    jax.block_until_ready((loss, params))
+    # warmup / compile (float() forces a real host round trip; on relayed
+    # platforms block_until_ready can return before execution completes)
+    params, opt_state, loss = train_step(
+        params, opt_state, arrays, batch_idx, y_node, w_node
+    )
+    _ = float(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = train_step(
-            params, opt_state, arrays, batch_idx, y_node, w_node
-        )
-    jax.block_until_ready((loss, params, opt_state))
-    dt = time.perf_counter() - t0
+    # slope timing: run N1 then N2 chained steps, each ended by one host
+    # sync; the difference cancels fixed dispatch/sync latency
+    def run_n(n, params, opt_state):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, opt_state, loss = train_step(
+                params, opt_state, arrays, batch_idx, y_node, w_node
+            )
+        _ = float(loss)
+        return time.perf_counter() - t0, params, opt_state
+
+    n1 = max(steps // 4, 1)
+    n2 = steps
+    t1, params, opt_state = run_n(n1, params, opt_state)
+    t2, params, opt_state = run_n(n2, params, opt_state)
+    dt = (t2 - t1) / (n2 - n1) * steps  # normalized back to `steps` steps
+    loss = loss
 
     real_edges = cg.total_real_edges()
     traversals_per_step = real_edges * layers

@@ -230,16 +230,20 @@ def apply_merged_gat_layer(
         xs_all = jnp.concatenate(xs_parts, axis=0)
         att = jnp.stack(att_rows, axis=0)
         a_dst_all = jnp.concatenate(adst_parts, axis=0)
+        # kernels are float32 (VMEM scratch dtype); bf16 compute mode keeps
+        # the dense matmuls in bf16 and upcasts at the kernel boundary
+        out_dtype = xs_all.dtype
         msgs = gather_rows_csc(
-            xs_all, jnp.asarray(L.src), L.csc_perm, L.csc_ids, L.csc_offsets,
-            L.n_src_total, interpret,
+            xs_all.astype(jnp.float32), jnp.asarray(L.src), L.csc_perm,
+            L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
         )
         out_all = fused_gat_layer(
-            msgs, att, a_dst_all, L.dst, L.row_offsets, L.tile2rel,
-            L.n_rows_total, cfg.negative_slope, cfg.temperature, interpret,
+            msgs, att.astype(jnp.float32), a_dst_all.astype(jnp.float32),
+            L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
+            cfg.negative_slope, cfg.temperature, interpret,
         )
         out = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d).sum(axis=0)
-        out_dict[dst_t] = out + bias_sum
+        out_dict[dst_t] = out.astype(out_dtype) + bias_sum
     return out_dict
 
 
