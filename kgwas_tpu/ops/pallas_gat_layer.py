@@ -195,6 +195,7 @@ def _merged_forward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+    tile_starts = jnp.concatenate([row_offsets[::BN], row_offsets[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -230,7 +231,7 @@ def _merged_forward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
             jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
         ],
         interpret=interpret,
-    )(row_offsets, tile2rel, msgs_p, dst_p, att8, adst_tiles)
+    )(tile_starts, tile2rel, msgs_p, dst_p, att8, adst_tiles)
     return out, row_max, row_sum
 
 
@@ -429,6 +430,7 @@ def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
     e_pad = msgs_p.shape[0]
+    tile_starts = jnp.concatenate([row_offsets[::BN], row_offsets[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -476,7 +478,7 @@ def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        row_offsets, tile2rel, msgs_p, dst_p, att8, adst_tiles,
+        tile_starts, tile2rel, msgs_p, dst_p, att8, adst_tiles,
         row_max, row_sum, out, g,
     )
     e = msgs.shape[0]

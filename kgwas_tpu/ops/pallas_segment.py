@@ -50,8 +50,11 @@ NBUF = 2   # chunk DMA double buffering
 
 
 def _tile_range(off_ref, i):
-    start = off_ref[i * BN]
-    end = off_ref[(i + 1) * BN]
+    # off_ref holds only the n_tiles+1 TILE-boundary offsets (SMEM is ~1MB;
+    # full per-row offsets don't fit at scale and are never needed — the
+    # one-hot routes edges within a tile)
+    start = off_ref[i]
+    end = off_ref[i + 1]
     start_al = (start // LANE) * LANE
     return start, end, start_al, pl.cdiv(end - start_al, BE)
 
@@ -204,6 +207,9 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
     assert n_rows % BN == 0, f"n_rows {n_rows} must be a multiple of {BN}"
     n_tiles = n_rows // BN
     msgs_p, logits_p, dst_p = _pad_edges(msgs, logits, dst, n_rows)
+    tile_starts = jnp.concatenate(
+        [row_offsets[::BN], row_offsets[-1:]]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -237,7 +243,7 @@ def _fused_forward(msgs, logits, dst, row_offsets, n_rows, interpret=False):
             jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
         ],
         interpret=interpret,
-    )(row_offsets, msgs_p, logits_p, dst_p)
+    )(tile_starts, msgs_p, logits_p, dst_p)
     return out, row_max, row_sum
 
 
@@ -429,6 +435,9 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
     n_tiles = n_rows // BN
     msgs_p, logits_p, dst_p = _pad_edges(msgs, logits, dst, n_rows)
     e_pad = msgs_p.shape[0]
+    tile_starts = jnp.concatenate(
+        [row_offsets[::BN], row_offsets[-1:]]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -472,7 +481,7 @@ def _fused_backward(msgs, logits, dst, row_offsets, row_max, row_sum, out, g,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        row_offsets,
+        tile_starts,
         msgs_p,
         logits_p,
         dst_p,
@@ -591,6 +600,9 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
     d = vals.shape[1]
     n_tiles = n_rows // BN
     vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)
+    tile_starts = jnp.concatenate(
+        [row_offsets[::BN], row_offsets[-1:]]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -614,7 +626,7 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_rows, d), jnp.float32)],
         interpret=interpret,
-    )(row_offsets, vals_p, ids_p)
+    )(tile_starts, vals_p, ids_p)
     return out
 
 
