@@ -62,9 +62,15 @@ class KGWAS:
         """Defaults mirror reference kgwas/kgwas.py:52. Extra kwargs reach the
         TPU-specific ModelConfig fields (compute_dtype, remat, use_pallas...).
         stream_features: node types whose embedding tables stay host-side and
-        stream to HBM per step (bigger-than-HBM pops features)."""
+        stream to HBM per step (bigger-than-HBM pops features).
+
+        On a TPU backend the fused Pallas kernels are enabled by default
+        (3x the XLA path; see benchmarks/RESULTS.md) — pass use_pallas=False
+        to opt out."""
         import jax
 
+        if "use_pallas" not in tpu_kwargs and jax.default_backend() == "tpu":
+            tpu_kwargs["use_pallas"] = True
         self.stream_features = list(stream_features or [])
 
         self.config = {

@@ -103,6 +103,12 @@ class KGWAS_Data:
         elif not missing:
             print_sys("All required data files are present.")
 
+    def download_all_data(self):
+        """Download the full ~55GB bundle (reference kgwas_data.py:50-53;
+        upstream URL placeholder mirrors the reference)."""
+        url = "https://dataverse.harvard.edu/api/access/datafile/XXXX"
+        self._download_and_extract_data(url, "kgwas_data")
+
     # -- download helpers (reference kgwas_data.py:67-109) ------------------
 
     def _download_with_progress(self, url, file_path):
@@ -580,10 +586,15 @@ class KGWAS_Data:
 
     # -- shard compilation (new: TPU path) ----------------------------------
 
-    def compile(self, edge_pad_multiple: int = 512, force: bool = False):
+    def compile(self, edge_pad_multiple: int = 512,
+                node_pad_multiple: int = 256, force: bool = False):
+        """node_pad_multiple=256 aligns node row spaces to the Pallas kernel
+        tile (<=255 pad rows per type; required for the fused TPU path)."""
         if self.compiled is None or force:
             self.compiled = compile_graph(
-                self.graph, edge_pad_multiple=edge_pad_multiple
+                self.graph,
+                edge_pad_multiple=edge_pad_multiple,
+                node_pad_multiple=node_pad_multiple,
             )
         return self.compiled
 

@@ -171,3 +171,18 @@ def test_full_model_merged_matches_xla():
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_merged_path_is_active_with_engine_defaults():
+    """Guard against silent fallback: with use_pallas and the data layer's
+    default compile, the merged path must actually engage."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models.hetero_gnn import _merged_path_active
+    from kgwas_tpu import KGWAS_Data
+
+    data = KGWAS_Data.from_synthetic(n_snp=80, n_gene=30, n_go=12, seed=1,
+                                     data_path="/tmp/mpa_data")
+    cg = data.compile()
+    meta = cg.meta()
+    cfg = ModelConfig(gnn_hidden_dim=128, use_pallas=True)
+    assert _merged_path_active(cfg, meta, False, False, False)
