@@ -230,11 +230,12 @@ def apply_merged_gat_layer(
         xs_all = jnp.concatenate(xs_parts, axis=0)
         att = jnp.stack(att_rows, axis=0)
         a_dst_all = jnp.concatenate(adst_parts, axis=0)
-        # kernels are float32 (VMEM scratch dtype); bf16 compute mode keeps
-        # the dense matmuls in bf16 and upcasts at the kernel boundary
+        # message stream stays in the compute dtype (bf16 halves edge DMA
+        # and doubles the MXU accumulation rate); per-row attention scalars
+        # and softmax state are always float32
         out_dtype = xs_all.dtype
         msgs = gather_rows_csc(
-            xs_all.astype(jnp.float32), jnp.asarray(L.src), L.csc_perm,
+            xs_all, jnp.asarray(L.src), L.csc_perm,
             L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
         )
         out_all = fused_gat_layer(

@@ -72,7 +72,7 @@ def _logits_row(msgs_block, att_ref, a_dst_row, onehot_t, negative_slope,
     per-row vector through the one-hot.
     """
     a_src_row = jax.lax.dot_general(
-        att_ref[0:1, :], msgs_block,
+        att_ref[0:1, :].astype(msgs_block.dtype), msgs_block,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                       # [1, BE]
@@ -150,7 +150,7 @@ def _make_fwd_kernel(negative_slope, temperature):
                 w = onehot_t.astype(jnp.float32) * p_row
                 row_sum = row_sum + jnp.sum(w, axis=1)
                 acc = acc + jax.lax.dot_general(
-                    w, msgs_vmem[slot],
+                    w.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -217,7 +217,7 @@ def _merged_forward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
@@ -343,7 +343,7 @@ def _make_bwd_kernel(negative_slope, temperature):
 
                 # d_l (pre-softmax logit grad), then d_z through leaky/T
                 m2 = jax.lax.dot_general(
-                    g_ref[:, :], msgs_vmem[slot],
+                    g_ref[:, :].astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                                # [BN, BE]
@@ -354,7 +354,7 @@ def _make_bwd_kernel(negative_slope, temperature):
                 dz_row = jnp.where(in_tile, dz_row, 0.0)
 
                 # d_msgs = w^T @ g  +  dz^T att
-                new_dmsgs = jax.lax.dot_general(
+                new_dmsgs = (jax.lax.dot_general(
                     w, g_ref[:, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -362,7 +362,7 @@ def _make_bwd_kernel(negative_slope, temperature):
                     dz_row, att_row,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                                # [BE, D]
+                )).astype(dmsgs_out_vmem.dtype)                  # [BE, D]
 
                 # d_a_dst[n] += sum_e onehot * dz
                 dadst_acc = dadst_acc + jnp.sum(
@@ -370,7 +370,7 @@ def _make_bwd_kernel(negative_slope, temperature):
                 )                                                # [BN]
                 # d_att += sum_e dz_e * msgs_e
                 datt_acc = datt_acc + jax.lax.dot_general(
-                    dz_row, msgs_vmem[slot],
+                    dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                                # [1, D]
@@ -459,10 +459,10 @@ def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-            pltpu.VMEM((NBUF, BE, d), jnp.float32),
-            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 3)),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -471,7 +471,7 @@ def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
         _make_bwd_kernel(negative_slope, temperature),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((e_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
             jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * 8, d), jnp.float32),
         ],

@@ -576,7 +576,7 @@ def _segsum_kernel(
             wait_chunk(c, slot)
             onehot_t = _onehot_t(_lane_concat(ids_vmem.at[slot]), row_base)
             return acc + jax.lax.dot_general(
-                onehot_t.astype(jnp.float32),
+                onehot_t.astype(vals_vmem.dtype),
                 vals_vmem[slot],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -616,7 +616,7 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), jnp.float32),
+            pltpu.VMEM((NBUF, BE, d), vals.dtype),
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],

@@ -186,3 +186,25 @@ def test_merged_path_is_active_with_engine_defaults():
     meta = cg.meta()
     cfg = ModelConfig(gnn_hidden_dim=128, use_pallas=True)
     assert _merged_path_active(cfg, meta, False, False, False)
+
+
+def test_merged_bf16_close_to_f32():
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=51)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    cfg32 = ModelConfig(gnn_hidden_dim=128, use_pallas=True)
+    cfg16 = ModelConfig(gnn_hidden_dim=128, use_pallas=True,
+                        compute_dtype="bfloat16",
+                        matmul_precision="default")
+    params = init_hetero_gnn(jax.random.PRNGKey(5), cfg32, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+    out32 = np.asarray(apply_hetero_gnn(params, cfg32, meta, arrays))[:n_real]
+    out16 = np.asarray(apply_hetero_gnn(params, cfg16, meta, arrays))[:n_real]
+    # bf16 has ~3 decimal digits; outputs must agree loosely and be finite
+    assert np.all(np.isfinite(out16))
+    np.testing.assert_allclose(out16, out32, rtol=0.1, atol=0.05)
