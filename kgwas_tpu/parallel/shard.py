@@ -19,9 +19,20 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import dataclasses
+
 from ..config import ModelConfig
 from ..models.hetero_gnn import apply_hetero_gnn
 from .mesh import make_mesh
+
+
+def _gspmd_cfg(cfg: ModelConfig) -> ModelConfig:
+    """The Pallas kernels are single-device programs; under GSPMD the XLA
+    segment path partitions correctly (a sharded Pallas path via shard_map is
+    the round-2 perf item)."""
+    if cfg.use_pallas:
+        return dataclasses.replace(cfg, use_pallas=False)
+    return cfg
 
 TP_FEATURE_DIM_THRESHOLD = 1024  # shard input feature dim when >= this
 
@@ -80,6 +91,7 @@ def make_sharded_train_step(
     masked to the seed batch, LDSC-weighted MSE, torch-Adam update — with
     GSPMD partitioning over the mesh.
     """
+    cfg = _gspmd_cfg(cfg)
     rep = replicated(mesh)
     nodes = node_vector_sharding(mesh)
     gsh = graph_shardings(mesh, arrays_template)
@@ -110,6 +122,7 @@ def make_sharded_train_step(
 
 def make_sharded_forward(cfg: ModelConfig, meta: dict, mesh: Mesh,
                          arrays_template: dict):
+    cfg = _gspmd_cfg(cfg)
     rep = replicated(mesh)
     gsh = graph_shardings(mesh, arrays_template)
 

@@ -122,3 +122,18 @@ def test_graft_entry_single_and_multichip():
     assert np.all(np.isfinite(np.asarray(out)))
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_step_with_pallas_cfg_falls_back():
+    """use_pallas configs must run under GSPMD via the XLA path (the Pallas
+    kernels are single-device; shard_map'd variant is a later round)."""
+    g, cg, cfg, meta, params = _setup(data_axis=8)
+    import dataclasses
+
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    mesh = make_mesh(data=8, model=1)
+    arrays = shard_graph_arrays(mesh, cg.arrays())
+    fwd = make_sharded_forward(cfg_p, meta, mesh, cg.arrays())
+    sharded = np.asarray(fwd(params, arrays))
+    single = np.asarray(make_forward(cfg, meta)(params, cg.arrays()))
+    np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
