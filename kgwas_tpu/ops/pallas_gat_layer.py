@@ -190,12 +190,11 @@ def _pad_edge_stream(msgs, dst, n_rows):
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
 )
-def _merged_forward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
+def _merged_forward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
                     n_rows, negative_slope, temperature, interpret=False):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
-    tile_starts = jnp.concatenate([row_offsets[::BN], row_offsets[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -235,7 +234,7 @@ def _merged_forward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
     return out, row_max, row_sum
 
 
-def _make_bwd_kernel(negative_slope, temperature):
+def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
     def kernel(
         off_ref,
         t2r_ref,
@@ -258,7 +257,14 @@ def _make_bwd_kernel(negative_slope, temperature):
         wsems,            # (NBUF,)
     ):
         i = pl.program_id(0)
-        start, end, start_al, nchunks = _tile_range(off_ref, i)
+        start, end, start_al, _ = _tile_range(off_ref, i)
+        # the LAST tile's chunk loop extends through the padded edge tail so
+        # pad rows of the gradient outputs are zero-filled, never left as
+        # uninitialized memory
+        cover_end = jnp.where(
+            i == pl.num_programs(0) - 1, e_pad_total, end
+        )
+        nchunks = pl.cdiv(cover_end - start_al, BE)
         row_base = i * BN
         a_dst_row = adst_ref[0:1, :]
         att_row = att_ref[0:1, :]
@@ -304,7 +310,10 @@ def _make_bwd_kernel(negative_slope, temperature):
                 wsems.at[slot],
             )
 
-        @pl.when(end > start)
+        run_tile = jnp.logical_or(end > start,
+                                  i == pl.num_programs(0) - 1)
+
+        @pl.when(run_tile)
         def _nonempty():
             start_chunk(0, 0)
 
@@ -375,20 +384,23 @@ def _make_bwd_kernel(negative_slope, temperature):
                     preferred_element_type=jnp.float32,
                 )                                                # [1, D]
 
-                @pl.when(is_boundary(c))
-                def _():
-                    in_col = jax.lax.dot_general(
-                        ohf, jnp.ones((BN, 1), dtype=jnp.float32),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    dmsgs_out_vmem[slot] = jnp.where(
-                        in_col > 0.5, new_dmsgs, dmsgs_old[slot]
-                    )
-
-                @pl.when(jnp.logical_not(is_boundary(c)))
-                def _():
-                    dmsgs_out_vmem[slot] = new_dmsgs
+                # keep previous values ONLY for lanes owned by a NEIGHBORING
+                # tile ([0,start) head / [end,..) tail of an interior tile);
+                # pad lanes past the last tile's real end get fresh zeros.
+                # Non-boundary chunks have an all-false mask, so the (unread,
+                # garbage) dmsgs_old slot is never selected.
+                sc = start_al + c * BE
+                pos_col = jax.lax.broadcasted_iota(
+                    jnp.int32, (BE, 1), 0
+                ) + sc
+                other_col = jnp.logical_or(
+                    pos_col < start,
+                    jnp.logical_and(pos_col >= end,
+                                    i < pl.num_programs(0) - 1),
+                )
+                dmsgs_out_vmem[slot] = jnp.where(
+                    other_col, dmsgs_old[slot], new_dmsgs
+                )
 
                 write_dma(c, slot).start()
                 return dadst_acc, datt_acc
@@ -409,7 +421,7 @@ def _make_bwd_kernel(negative_slope, temperature):
             dadst_ref[0:1, :] = dadst_acc[None, :]
             datt_ref[0:1, :] = datt_acc
 
-        @pl.when(end <= start)
+        @pl.when(jnp.logical_not(run_tile))
         def _empty():
             dadst_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
             datt_ref[0:1, :] = jnp.zeros(
@@ -423,14 +435,13 @@ def _make_bwd_kernel(negative_slope, temperature):
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
 )
-def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
+def _merged_backward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
                      row_max, row_sum, out, g, n_rows, negative_slope,
                      temperature, interpret=False):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
     e_pad = msgs_p.shape[0]
-    tile_starts = jnp.concatenate([row_offsets[::BN], row_offsets[-1:]])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -468,7 +479,7 @@ def _merged_backward(msgs, att8, adst_tiles, dst, row_offsets, tile2rel,
         ],
     )
     dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
-        _make_bwd_kernel(negative_slope, temperature),
+        _make_bwd_kernel(negative_slope, temperature, e_pad),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
@@ -513,9 +524,10 @@ def fused_gat_layer(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
     dst_np/row_offsets_np/tile2rel_np: static numpy layout arrays.
     n_rows = R * N_pad, multiple of 256. Returns out_all [n_rows, D].
     """
+    ts = _tile_starts_np(row_offsets_np)
     out, _, _ = _merged_forward(
         msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
-        jnp.asarray(dst_np), jnp.asarray(row_offsets_np),
+        jnp.asarray(dst_np), jnp.asarray(ts),
         jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
         interpret,
     )
@@ -526,9 +538,10 @@ def _fgl_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
              n_rows, negative_slope, temperature, interpret):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
+    ts = _tile_starts_np(row_offsets_np)
     out, row_max, row_sum = _merged_forward(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
-        jnp.asarray(row_offsets_np), jnp.asarray(tile2rel_np), n_rows,
+        jnp.asarray(ts), jnp.asarray(tile2rel_np), n_rows,
         negative_slope, temperature, interpret,
     )
     return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
@@ -537,9 +550,10 @@ def _fgl_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
 def _fgl_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
              temperature, interpret, residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
+    ts = _tile_starts_np(row_offsets_np)
     dmsgs, dadst_tiles, datt_tiles = _merged_backward(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
-        jnp.asarray(row_offsets_np), jnp.asarray(tile2rel_np), row_max,
+        jnp.asarray(ts), jnp.asarray(tile2rel_np), row_max,
         row_sum, out, g, n_rows, negative_slope, temperature, interpret,
     )
     n_tiles = n_rows // BN
@@ -552,3 +566,54 @@ def _fgl_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
 
 
 fused_gat_layer.defvjp(_fgl_fwd, _fgl_bwd)
+
+
+def _tile_starts_np(row_offsets_np):
+    ro = np.asarray(row_offsets_np)
+    return np.concatenate([ro[::BN], ro[-1:]])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_gat_layer_t(msgs, att, a_dst_all, dst, tile_starts, tile2rel,
+                      n_rows, negative_slope, temperature, interpret=False):
+    """fused_gat_layer with TRACED int layout arrays (dst, tile_starts,
+    tile2rel) — required inside shard_map where layouts are per-device
+    sharded operands. Semantics identical to fused_gat_layer."""
+    out, _, _ = _merged_forward(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
+        dst, tile_starts, tile2rel, n_rows, negative_slope, temperature,
+        interpret,
+    )
+    return out
+
+
+def _fglt_fwd(msgs, att, a_dst_all, dst, tile_starts, tile2rel, n_rows,
+              negative_slope, temperature, interpret):
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
+    out, row_max, row_sum = _merged_forward(
+        msgs, att8, adst_tiles, dst, tile_starts, tile2rel, n_rows,
+        negative_slope, temperature, interpret,
+    )
+    return out, (msgs, att8, adst_tiles, dst, tile_starts, tile2rel, row_max,
+                 row_sum, out, att.shape[0])
+
+
+def _fglt_bwd(n_rows, negative_slope, temperature, interpret, residuals, g):
+    (msgs, att8, adst_tiles, dst, tile_starts, tile2rel, row_max, row_sum,
+     out, n_rel) = residuals
+    dmsgs, dadst_tiles, datt_tiles = _merged_backward(
+        msgs, att8, adst_tiles, dst, tile_starts, tile2rel, row_max, row_sum,
+        out, g, n_rows, negative_slope, temperature, interpret,
+    )
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    n_tiles = n_rows // BN
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_rel, n_tiles), 0)
+        == tile2rel[None, :]
+    ).astype(jnp.float32)
+    d_att = onehot @ datt_tiles[::8]
+    return dmsgs, d_att, d_a_dst, None, None, None
+
+
+fused_gat_layer_t.defvjp(_fglt_fwd, _fglt_bwd)

@@ -662,3 +662,57 @@ def _grc_bwd(csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows, interpret,
 
 
 gather_rows_csc.defvjp(_grc_fwd, _grc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gather_rows_csc_t(x, idx, csc_perm, csc_ids, csc_offsets, n_src_rows,
+                      interpret=False):
+    """gather_rows_csc with TRACED int layout arrays (shard_map variant)."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _grct_fwd(x, idx, csc_perm, csc_ids, csc_offsets, n_src_rows, interpret):
+    return jnp.take(x, idx, axis=0), (csc_perm, csc_ids, csc_offsets)
+
+
+def _grct_bwd(n_src_rows, interpret, res, g):
+    csc_perm, csc_ids, csc_offsets = res
+    g_sorted = jnp.take(g, csc_perm, axis=0)
+    tile_starts = jnp.concatenate([csc_offsets[::BN], csc_offsets[-1:]])
+    dx = _pallas_segment_sum_ts(g_sorted, csc_ids, tile_starts, n_src_rows,
+                                interpret)
+    return dx, None, None, None, None
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _pallas_segment_sum_ts(vals, ids, tile_starts, n_rows, interpret=False):
+    d = vals.shape[1]
+    n_tiles = n_rows // BN
+    vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, d), lambda i, off: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), vals.dtype),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _segsum_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, d), jnp.float32)],
+        interpret=interpret,
+    )(tile_starts, vals_p, ids_p)
+    return out
+
+
+gather_rows_csc_t.defvjp(_grct_fwd, _grct_bwd)
