@@ -36,7 +36,7 @@ def main():
     from kgwas_tpu.graph import compile_graph, make_synthetic_kg
     from kgwas_tpu.models import init_hetero_gnn
 
-    n_snp = int(os.environ.get("BENCH_N_SNP", 400_000))
+    n_snp = int(os.environ.get("BENCH_N_SNP", 200_000))
     n_gene = int(os.environ.get("BENCH_N_GENE", 20_000))
     n_go = int(os.environ.get("BENCH_N_GO", 12_000))
     avg_degree = int(os.environ.get("BENCH_AVG_DEGREE", 6))

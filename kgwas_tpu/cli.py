@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
+
 
 
 def _add_data_args(p):

@@ -21,7 +21,7 @@ Everything here is static numpy, built once at shard-compile time.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

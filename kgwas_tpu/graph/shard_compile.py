@@ -23,7 +23,7 @@ never a source of real edges, so forward/backward are exact. Hot loops
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -146,11 +146,9 @@ def generate_viz(
         )
         gwas_gene.loc[:, "GENE"] = gwas_gene["GENE"].apply(lambda x: id2gene[x])
 
-        import statsmodels.api as sm
+        from ..stats.labels import bonferroni
 
-        corrected = sm.stats.multipletests(
-            gwas_gene["P"], alpha=magma_threshold, method="bonferroni"
-        )[1]
+        corrected = bonferroni(gwas_gene["P"], alpha=magma_threshold)
         gwas_gene.loc[:, "corrected_p_value"] = corrected
         df_gene_hits = gwas_gene[gwas_gene["corrected_p_value"] < magma_threshold]
         gene_hit_idx = [

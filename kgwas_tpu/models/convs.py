@@ -29,7 +29,6 @@ from ..ops.segment import (
     edge_valid_mask,
     gather_rows,
     leaky_relu,
-    segment_max,
     segment_mean,
     segment_softmax,
     segment_sum,

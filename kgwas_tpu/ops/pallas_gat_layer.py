@@ -45,7 +45,6 @@ from .pallas_segment import (
     NEG_BIG,
     _lane_concat,
     _onehot_t,
-    _row_to_block,
     _tile_range,
 )
 

@@ -17,7 +17,6 @@ pass with the matmul overlapped by JAX async dispatch.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

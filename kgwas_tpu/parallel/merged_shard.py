@@ -20,8 +20,6 @@ Per-device layouts are static numpy, built once (build_device_layouts).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import List
 
 import jax
 import jax.numpy as jnp

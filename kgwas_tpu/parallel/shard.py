@@ -13,7 +13,6 @@ without changing this interface.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,6 @@ import dataclasses
 
 from ..config import ModelConfig
 from ..models.hetero_gnn import apply_hetero_gnn
-from .mesh import make_mesh
 
 
 def _gspmd_cfg(cfg: ModelConfig) -> ModelConfig:

@@ -8,7 +8,7 @@ and subsampling analyses (demo/kgwas_simulation.ipynb cells 5-12).
 from __future__ import annotations
 
 from copy import copy
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd

@@ -8,7 +8,6 @@ subsampling/simulation analyses.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd

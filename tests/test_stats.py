@@ -113,3 +113,30 @@ def test_storey_pi_clamping_edge_cases():
     assert out.min() >= 0
     # P_weighted > 1 replaced by original P
     assert np.all(out <= 1.0 + 1e-12)
+
+
+def test_residual_label_modes():
+    """residual-* label variants (reference kgwas_data.py:449-512) — incl.
+    the reference quirk of predicting from w_ld_score in every mode."""
+    from kgwas_tpu.stats.labels import residual_label
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "BETA": rng.standard_normal(n) * 0.1,
+            "SE": rng.uniform(0.01, 0.1, n),
+            "ld_score": rng.uniform(1, 100, n),
+            "w_ld_score": rng.uniform(1, 60, n),
+            "ld_weight": rng.uniform(0.1, 2.0, n),
+        }
+    )
+    outs = {}
+    for mode in ("residual-w-ld", "residual-ld", "residual-ld-ols",
+                 "residual-ld-ols-abs", "residual-w-ld-ols"):
+        y = residual_label(df, mode)
+        assert np.all(np.isfinite(y)), mode
+        outs[mode] = y
+    assert np.all(outs["residual-ld-ols-abs"] >= 0)
+    # ld vs w-ld fits differ
+    assert not np.allclose(outs["residual-ld"], outs["residual-w-ld"])
