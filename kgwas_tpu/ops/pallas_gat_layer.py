@@ -259,10 +259,14 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
         start, end, start_al, _ = _tile_range(off_ref, i)
         # the LAST tile's chunk loop extends through the padded edge tail so
         # pad rows of the gradient outputs are zero-filled, never left as
-        # uninitialized memory
+        # uninitialized memory. Cover only to e_pad - BE: start_al is LANE-
+        # but not BE-aligned, so the final chunk can overrun its nominal end
+        # by start_al % BE rows — the trailing BE rows are the DMA safety
+        # margin (and lie beyond every caller's slice).
         cover_end = jnp.where(
-            i == pl.num_programs(0) - 1, e_pad_total, end
+            i == pl.num_programs(0) - 1, e_pad_total - BE, end
         )
+        cover_end = jnp.maximum(cover_end, end)
         nchunks = pl.cdiv(cover_end - start_al, BE)
         row_base = i * BN
         a_dst_row = adst_ref[0:1, :]
