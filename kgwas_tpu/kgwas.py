@@ -19,7 +19,7 @@ from .engine.checkpoint import load_model, save_model
 from .engine.loop import build_optimizer, epoch_batches, make_forward, make_train_step
 from .models.hetero_gnn import init_hetero_gnn
 from .stats.calibration import find_closest_x, storey_tibshirani_integrate
-from .utils import compute_metrics, print_sys
+from .utils import compute_metrics, enable_persistent_compilation_cache, print_sys
 
 
 class KGWAS:
@@ -37,6 +37,7 @@ class KGWAS:
         self.data_path = data.data_path
         self.exp_name = exp_name
         self.device = device  # jax picks the platform; kept for API parity
+        enable_persistent_compilation_cache()
 
         if weight_bias_track:
             import wandb

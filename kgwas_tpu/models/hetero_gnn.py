@@ -201,10 +201,16 @@ def apply_merged_gat_layer(
     cfg: ModelConfig,
     meta: dict,
     h: Dict[str, jnp.ndarray],
+    merged_kernel_fns: Optional[dict] = None,
 ) -> Dict[str, jnp.ndarray]:
     """One hetero GAT layer over merged per-dst-type edge streams: one
     fused_gat_layer kernel + one CSC gather per destination type
-    (ops/pallas_gat_layer.py, graph/merged_layout.py)."""
+    (ops/pallas_gat_layer.py, graph/merged_layout.py).
+
+    merged_kernel_fns: optional dst_type -> f(xs_all, att, a_dst) -> out_all
+    override — the multi-chip shard_map'd kernels
+    (parallel/merged_shard.py) plug in here; default is the single-device
+    gather + fused layer kernel."""
     import jax as _jax
 
     from ..ops.pallas_gat_layer import fused_gat_layer
@@ -234,15 +240,20 @@ def apply_merged_gat_layer(
         # and doubles the MXU accumulation rate); per-row attention scalars
         # and softmax state are always float32
         out_dtype = xs_all.dtype
-        msgs = gather_rows_csc(
-            xs_all, jnp.asarray(L.src), L.csc_perm,
-            L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
-        )
-        out_all = fused_gat_layer(
-            msgs, att.astype(jnp.float32), a_dst_all.astype(jnp.float32),
-            L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
-            cfg.negative_slope, cfg.temperature, interpret,
-        )
+        if merged_kernel_fns is not None:
+            out_all = merged_kernel_fns[dst_t](
+                xs_all, att.astype(jnp.float32), a_dst_all.astype(jnp.float32)
+            )
+        else:
+            msgs = gather_rows_csc(
+                xs_all, jnp.asarray(L.src), L.csc_perm,
+                L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
+            )
+            out_all = fused_gat_layer(
+                msgs, att.astype(jnp.float32), a_dst_all.astype(jnp.float32),
+                L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
+                cfg.negative_slope, cfg.temperature, interpret,
+            )
         out = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d).sum(axis=0)
         out_dict[dst_t] = out.astype(out_dtype) + bias_sum
     return out_dict
@@ -258,10 +269,16 @@ def apply_hetero_layer(
     collect_alpha: bool = False,
     dropout_rng=None,
     training: bool = False,
+    merged_kernel_fns: Optional[dict] = None,
 ):
     """One HeteroConv application. Returns (out_dict, alpha_dict)."""
     if _merged_path_active(cfg, meta, raw_attention, collect_alpha, training):
-        return apply_merged_gat_layer(layer_params, cfg, meta, h), {}
+        return (
+            apply_merged_gat_layer(
+                layer_params, cfg, meta, h, merged_kernel_fns
+            ),
+            {},
+        )
     rel_types = meta["rel_types"]
     num_edges = meta["num_edges"]
     padded_nodes = meta["padded_nodes"]
@@ -306,6 +323,7 @@ def apply_hetero_gnn(
     dropout_rng=None,
     return_hidden: bool = False,
     h1_override: Optional[Dict[str, jnp.ndarray]] = None,
+    merged_kernel_fns: Optional[dict] = None,
 ):
     """Full-graph forward. Returns pred [N_snp_pad, out_channels] (all SNP
     rows; gather seed rows outside — the full-graph analog of the
@@ -313,7 +331,7 @@ def apply_hetero_gnn(
     with jax.default_matmul_precision(cfg.matmul_precision):
         return _apply_hetero_gnn(
             params, cfg, meta, graph_arrays, training, dropout_rng,
-            return_hidden, h1_override,
+            return_hidden, h1_override, merged_kernel_fns,
         )
 
 
@@ -326,6 +344,7 @@ def _apply_hetero_gnn(
     dropout_rng=None,
     return_hidden: bool = False,
     h1_override: Optional[Dict[str, jnp.ndarray]] = None,
+    merged_kernel_fns: Optional[dict] = None,
 ):
     x = graph_arrays["x"]
     edges = graph_arrays["edges"]
@@ -344,6 +363,7 @@ def _apply_hetero_gnn(
         out, _ = apply_hetero_layer(
             layer_params, cfg, meta, h, edges,
             dropout_rng=rng, training=training,
+            merged_kernel_fns=merged_kernel_fns,
         )
         return {t: jax.nn.relu(v) for t, v in out.items()}
 

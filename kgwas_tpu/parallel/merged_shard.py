@@ -183,3 +183,41 @@ def make_sharded_merged_layer(
         return smapped(xs_all, att, a_dst_all, *layout_args)
 
     return f
+
+
+def sharded_merged_eligible(meta: dict, mesh: Mesh) -> bool:
+    """True when every merged dst-type layout splits evenly over the mesh's
+    'data' axis (tiles divisible by n_dev) and no tensor-parallel 'model'
+    axis is in play (the fused kernels own the full feature dim)."""
+    merged = meta.get("merged")
+    if not merged:
+        return False
+    if mesh.shape.get("model", 1) != 1:
+        return False
+    n_dev = mesh.shape["data"]
+    for L in merged.values():
+        if (L.n_rows_total // TILE) % n_dev != 0:
+            return False
+        if L.n_src_total % n_dev != 0:
+            return False
+    return True
+
+
+def make_sharded_merged_kernel_fns(
+    mesh: Mesh,
+    meta: dict,
+    negative_slope: float,
+    temperature: float,
+    interpret: bool = False,
+) -> dict:
+    """dst_type -> shard_map'd merged-layer kernel, pluggable into
+    models.hetero_gnn.apply_merged_gat_layer(merged_kernel_fns=...). Builds
+    the static per-device layouts once per mesh size."""
+    n_dev = mesh.shape["data"]
+    fns = {}
+    for dst_t, L in meta["merged"].items():
+        DL = build_device_layouts(L, n_dev)
+        fns[dst_t] = make_sharded_merged_layer(
+            mesh, DL, negative_slope, temperature, interpret
+        )
+    return fns

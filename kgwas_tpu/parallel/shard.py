@@ -21,16 +21,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import dataclasses
 
 from ..config import ModelConfig
-from ..models.hetero_gnn import apply_hetero_gnn
+from ..models.hetero_gnn import _merged_path_active, apply_hetero_gnn
 
 
 def _gspmd_cfg(cfg: ModelConfig) -> ModelConfig:
-    """The Pallas kernels are single-device programs; under GSPMD the XLA
-    segment path partitions correctly (a sharded Pallas path via shard_map is
-    the round-2 perf item)."""
+    """The Pallas kernels are single-device programs; under plain GSPMD the
+    XLA segment path partitions correctly. The merged-layer kernels DO have a
+    multi-chip form (shard_map halo exchange, parallel/merged_shard.py) —
+    _select_kernel_path switches to it when the layouts divide the mesh."""
     if cfg.use_pallas:
         return dataclasses.replace(cfg, use_pallas=False)
     return cfg
+
+
+def _select_kernel_path(cfg: ModelConfig, meta: dict, mesh: Mesh,
+                        training: bool):
+    """Returns (cfg, merged_kernel_fns). Prefers the shard_map'd fused
+    Pallas path (3x the XLA segment path per chip, benchmarks/RESULTS.md)
+    whenever the model hits the merged gate and the layouts split evenly
+    over the mesh; otherwise falls back to GSPMD-partitioned XLA ops."""
+    import jax as _jax
+
+    from .merged_shard import (
+        make_sharded_merged_kernel_fns,
+        sharded_merged_eligible,
+    )
+
+    if (
+        cfg.use_pallas
+        and _merged_path_active(cfg, meta, False, False, training)
+        and sharded_merged_eligible(meta, mesh)
+    ):
+        fns = make_sharded_merged_kernel_fns(
+            mesh, meta, cfg.negative_slope, cfg.temperature,
+            interpret=_jax.default_backend() != "tpu",
+        )
+        return cfg, fns
+    return _gspmd_cfg(cfg), None
 
 TP_FEATURE_DIM_THRESHOLD = 1024  # shard input feature dim when >= this
 
@@ -87,15 +114,17 @@ def make_sharded_train_step(
 
     Same math as engine.loop.make_train_step — full-graph forward, loss
     masked to the seed batch, LDSC-weighted MSE, torch-Adam update — with
-    GSPMD partitioning over the mesh.
+    GSPMD partitioning over the mesh; the merged Pallas kernels run via
+    shard_map when eligible (see _select_kernel_path).
     """
-    cfg = _gspmd_cfg(cfg)
+    cfg, merged_fns = _select_kernel_path(cfg, meta, mesh, training=True)
     rep = replicated(mesh)
     nodes = node_vector_sharding(mesh)
     gsh = graph_shardings(mesh, arrays_template)
 
     def loss_fn(params, arrays, batch_idx, y_node, w_node):
-        pred = apply_hetero_gnn(params, cfg, meta, arrays, training=True)
+        pred = apply_hetero_gnn(params, cfg, meta, arrays, training=True,
+                                merged_kernel_fns=merged_fns)
         p = jnp.take(pred[:, 0], batch_idx, axis=0)
         y = jnp.take(y_node, batch_idx, axis=0)
         w = jnp.take(w_node, batch_idx, axis=0)
@@ -120,12 +149,15 @@ def make_sharded_train_step(
 
 def make_sharded_forward(cfg: ModelConfig, meta: dict, mesh: Mesh,
                          arrays_template: dict):
-    cfg = _gspmd_cfg(cfg)
+    cfg, merged_fns = _select_kernel_path(cfg, meta, mesh, training=False)
     rep = replicated(mesh)
     gsh = graph_shardings(mesh, arrays_template)
 
     @partial(jax.jit, in_shardings=(rep, gsh), out_shardings=rep)
     def forward(params, arrays):
-        return apply_hetero_gnn(params, cfg, meta, arrays, training=False)[:, 0]
+        return apply_hetero_gnn(
+            params, cfg, meta, arrays, training=False,
+            merged_kernel_fns=merged_fns,
+        )[:, 0]
 
     return forward

@@ -16,6 +16,40 @@ def print_sys(s):
     print(s, flush=True, file=sys.stderr)
 
 
+_CACHE_ENABLED = False
+
+
+def enable_persistent_compilation_cache(path=None):
+    """Point XLA's persistent compilation cache at a local directory so
+    repeat runs skip the 1-4 min first-compile of the training step.
+
+    Default dir: $KGWAS_TPU_CACHE_DIR, else ~/.cache/kgwas_tpu/xla.
+    Set KGWAS_TPU_CACHE_DIR="" to disable. Safe to call repeatedly; a
+    no-op if jax was built without the cache config knobs."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    if path is None:
+        path = os.environ.get(
+            "KGWAS_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "kgwas_tpu", "xla"),
+        )
+    if not path:
+        return
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache everything that took meaningful compile time; tiny programs
+        # aren't worth the disk round trip.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _CACHE_ENABLED = True
+    except Exception:  # cache flags unavailable or dir not writable
+        pass
+
+
 def save_dict(path, obj):
     with open(path, "wb") as f:
         pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)

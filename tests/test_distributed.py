@@ -125,8 +125,9 @@ def test_graft_entry_single_and_multichip():
 
 
 def test_sharded_step_with_pallas_cfg_falls_back():
-    """use_pallas configs must run under GSPMD via the XLA path (the Pallas
-    kernels are single-device; shard_map'd variant is a later round)."""
+    """use_pallas configs whose layouts don't divide the mesh (here: 64-node
+    padding, no merged layouts) must fall back to the GSPMD XLA path; the
+    eligible case takes the shard_map'd kernels (test_merged_shard)."""
     g, cg, cfg, meta, params = _setup(data_axis=8)
     import dataclasses
 

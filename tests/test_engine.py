@@ -163,3 +163,26 @@ def test_train_options_bf16_remat_shuffle(tmp_path):
     res = run.train(batch_size=64, epoch=1, shuffle=True, save_best_model=False)
     assert np.all(np.isfinite(res.pred.values))
     assert np.all(np.isfinite(res.KGWAS_P.values.astype(float)))
+
+
+def test_persistent_compilation_cache(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache points jax at the requested dir,
+    is idempotent, and honors the empty-env-var opt-out."""
+    import jax
+
+    from kgwas_tpu import utils
+
+    monkeypatch.setattr(utils, "_CACHE_ENABLED", False)
+    cache_dir = str(tmp_path / "xla_cache")
+    utils.enable_persistent_compilation_cache(cache_dir)
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    assert utils._CACHE_ENABLED
+    # second call (e.g. a second KGWAS instance) is a no-op
+    utils.enable_persistent_compilation_cache(str(tmp_path / "other"))
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+
+    # opt-out: empty KGWAS_TPU_CACHE_DIR leaves config untouched
+    monkeypatch.setattr(utils, "_CACHE_ENABLED", False)
+    monkeypatch.setenv("KGWAS_TPU_CACHE_DIR", "")
+    utils.enable_persistent_compilation_cache()
+    assert not utils._CACHE_ENABLED
