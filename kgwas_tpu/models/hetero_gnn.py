@@ -69,13 +69,20 @@ def init_hetero_gnn(
     }
 
     rel_types = meta["rel_types"]
+    # multi-head GAT concats heads (PyG GATConv concat=True): layer outputs
+    # are H*h wide, so deeper layers and the head take H*h inputs. (The
+    # reference declares the final Linear with fixed hidden_channels inputs,
+    # reference model.py:50, so gat_num_head>1 dimension-errors there; this
+    # framework sizes the stack correctly instead.)
+    H = cfg.gat_num_head if cfg.gnn_backbone == "GAT" else 1
     for li in range(cfg.gnn_num_layers):
         layer = {}
+        lin = h if li == 0 else H * h
         rel_keys = list(rel_types.keys())
         rkeys = jax.random.split(keys[3 + li], max(len(rel_keys), 1))
         for rk, rkey in zip(rel_keys, rkeys):
             if cfg.gnn_backbone == "GAT":
-                layer[rk] = init_gat(rkey, h, h, h, cfg.gat_num_head, dtype)
+                layer[rk] = init_gat(rkey, lin, lin, h, cfg.gat_num_head, dtype)
             elif cfg.gnn_backbone == "SAGE":
                 layer[rk] = init_sage(rkey, h, h, h, dtype)
             elif cfg.gnn_backbone == "GCN":
@@ -87,9 +94,10 @@ def init_hetero_gnn(
         params["convs"].append(layer)
 
     hk = jax.random.split(keys[3 + cfg.gnn_num_layers - 1 + 1], 2)
+    head_in = H * h if cfg.gnn_num_layers > 0 else h
     params["lin"] = {
-        "w": torch_linear_weight(hk[0], h, cfg.out_channels, dtype),
-        "b": torch_linear_bias(hk[1], h, cfg.out_channels, dtype),
+        "w": torch_linear_weight(hk[0], head_in, cfg.out_channels, dtype),
+        "b": torch_linear_bias(hk[1], head_in, cfg.out_channels, dtype),
     }
     return params
 

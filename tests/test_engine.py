@@ -186,3 +186,22 @@ def test_persistent_compilation_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("KGWAS_TPU_CACHE_DIR", "")
     utils.enable_persistent_compilation_cache()
     assert not utils._CACHE_ENABLED
+
+
+def test_train_multihead(tmp_path):
+    """gat_num_head=2 end to end through the engine (a config the reference
+    crashes on — see tests/test_model.py multihead test)."""
+    import numpy as np
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    data = KGWAS_Data.from_synthetic(
+        n_snp=150, n_gene=40, n_go=15, seed=11, data_path=str(tmp_path)
+    )
+    data.load_synthetic_gwas(seed=11)
+    data.process_gwas_file()
+    data.prepare_split()
+    run = KGWAS(data, exp_name="mh", seed=11)
+    run.initialize_model(gnn_hidden_dim=16, gat_num_head=2)
+    res = run.train(batch_size=64, epoch=1, save_best_model=False)
+    assert np.all(np.isfinite(res.pred.values))

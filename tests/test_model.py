@@ -187,3 +187,32 @@ def test_full_graph_equals_subgraph_seed_prediction():
     np.testing.assert_allclose(
         full_pred[seeds], sub_pred[seeds], rtol=1e-4, atol=1e-5
     )
+
+
+def test_hetero_gnn_multihead_dims_and_grads():
+    """gat_num_head>1: layer outputs concat to H*h, deeper layers and the
+    scalar head are sized to match. (The reference dimension-errors here —
+    its final Linear is declared with hidden_channels inputs, reference
+    model.py:50 — so multi-head is a capability the reference lacks.)"""
+    cg = _compiled()
+    meta = cg.meta()
+    H, h = 2, 16
+    cfg = ModelConfig(gnn_hidden_dim=h, gnn_num_layers=2, gat_num_head=H)
+    params = init_hetero_gnn(jax.random.PRNGKey(4), cfg, meta, 20, 32, 16)
+    assert params["convs"][0]["SNP__TSS__Gene"]["lin_src"]["w"].shape == (h, H * h)
+    assert params["convs"][1]["SNP__TSS__Gene"]["lin_src"]["w"].shape == (H * h, H * h)
+    assert params["lin"]["w"].shape == (H * h, 1)
+
+    pred, hidden = apply_hetero_gnn(params, cfg, meta, cg.arrays(),
+                                    return_hidden=True)
+    assert pred.shape == (cg.padded_nodes["SNP"], 1)
+    assert hidden.shape == (cg.padded_nodes["SNP"], H * h)
+    assert np.all(np.isfinite(np.asarray(pred)[: cg.num_nodes["SNP"]]))
+
+    def loss(p):
+        out = apply_hetero_gnn(p, cfg, meta, cg.arrays())
+        return jnp.mean(out[: cg.num_nodes["SNP"]] ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
