@@ -137,12 +137,36 @@ class KGWAS:
 
     # --------------------------------------------------------------- training
 
-    def _device_state(self):
+    def _resolve_mesh(self, mesh):
+        """mesh: None (single device), an int (data-parallel over that many
+        devices), a dict of mesh axis sizes, or a jax.sharding.Mesh."""
+        if mesh is None:
+            return None
+        from jax.sharding import Mesh
+
+        if isinstance(mesh, Mesh):
+            return mesh
+        from .parallel.mesh import make_mesh
+
+        if isinstance(mesh, int):
+            return make_mesh(data=mesh, model=1)
+        if isinstance(mesh, dict):
+            return make_mesh(data=mesh.get("data", 1),
+                             model=mesh.get("model", 1))
+        raise TypeError(f"mesh must be None, int, dict or Mesh, got {mesh!r}")
+
+    def _device_state(self, mesh=None):
         import jax
         import jax.numpy as jnp
 
         cg = self.data.compile()
         streamed = getattr(self, "stream_features", [])
+        if streamed and mesh is not None:
+            raise ValueError(
+                "stream_features and mesh training are mutually exclusive "
+                "for now; shard the giant features with the TP 'model' axis "
+                "instead (parallel/shard.py)"
+            )
         if streamed:
             from .engine.streamed import strip_streamed_features
 
@@ -152,6 +176,11 @@ class KGWAS:
             arrays = jax.device_put(
                 strip_streamed_features(cg.arrays(), streamed, cg.padded_nodes)
             )
+        elif mesh is not None:
+            from .parallel.shard import shard_graph_arrays
+
+            self._x_host = {}
+            arrays = shard_graph_arrays(mesh, cg.arrays())
         else:
             self._x_host = {}
             arrays = jax.device_put(cg.arrays())
@@ -186,12 +215,18 @@ class KGWAS:
         metrics_log: Optional[str] = None,
         checkpoint_every: Optional[int] = None,
         resume: bool = False,
+        mesh=None,
     ):
         """Training defaults mirror reference kgwas/kgwas.py:85-87.
         profile_dir captures a jax.profiler trace of epoch 1; metrics_log
         appends per-epoch JSONL records (edges/s, epoch time, val metrics).
         checkpoint_every=N saves (params, opt_state) asynchronously via orbax
-        every N steps; resume=True restores the latest such state."""
+        every N steps; resume=True restores the latest such state.
+        mesh: multi-chip training — an int (data-parallel device count), a
+        dict of mesh axis sizes ({'data': 8, 'model': 1}), or a
+        jax.sharding.Mesh; the step auto-selects the shard_map'd fused
+        kernels when the graph layouts divide the mesh
+        (parallel/shard._select_kernel_path)."""
         import jax
         import jax.numpy as jnp
 
@@ -203,7 +238,9 @@ class KGWAS:
         self.save_name = save_name
 
         print_sys("Compiling graph shards...")
-        cg, arrays, y_node, w_node = self._device_state()
+        mesh = self._resolve_mesh(mesh)
+        self.mesh = mesh
+        cg, arrays, y_node, w_node = self._device_state(mesh)
         train_ids = np.asarray(self.data.train_mask)
         val_ids = np.asarray(self.data.val_mask)
         test_ids = np.asarray(self.data.test_mask)
@@ -244,6 +281,31 @@ class KGWAS:
 
             def forward(params, arrays):
                 return fwd_streamed(params, arrays, x_host)
+
+        elif mesh is not None:
+            from .parallel.shard import (
+                make_sharded_forward,
+                make_sharded_train_step,
+                node_vector_sharding,
+                replicated,
+            )
+
+            template = self.data.compile().arrays()
+            sharded_step = make_sharded_train_step(
+                self.model_cfg, self.meta, optimizer, mesh, template
+            )
+            forward = make_sharded_forward(
+                self.model_cfg, self.meta, mesh, template
+            )
+            rep = replicated(mesh)
+            nodes = node_vector_sharding(mesh)
+            y_node = jax.device_put(y_node, nodes)
+            w_node = jax.device_put(w_node, nodes)
+
+            def train_step(params, opt_state, arrays, bidx, y, w):
+                return sharded_step(
+                    params, opt_state, arrays, jax.device_put(bidx, rep), y, w
+                )
 
         else:
             train_step = make_train_step(self.model_cfg, self.meta, optimizer)

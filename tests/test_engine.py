@@ -205,3 +205,61 @@ def test_train_multihead(tmp_path):
     run.initialize_model(gnn_hidden_dim=16, gat_num_head=2)
     res = run.train(batch_size=64, epoch=1, save_best_model=False)
     assert np.all(np.isfinite(res.pred.values))
+
+
+def test_train_with_mesh_matches_single_device(tmp_path):
+    """KGWAS.train(mesh=8): engine-level multi-chip training produces the
+    same losses as single-device (GSPMD partitioning; fast-path selection is
+    covered by tests/test_merged_shard.py)."""
+    import jax
+    import numpy as np
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    def make_run(tag):
+        data = KGWAS_Data.from_synthetic(
+            n_snp=200, n_gene=50, n_go=16, seed=17,
+            data_path=str(tmp_path / tag),
+        )
+        data.load_synthetic_gwas(seed=17)
+        data.process_gwas_file()
+        data.prepare_split()
+        run = KGWAS(data, exp_name=tag, seed=17)
+        run.initialize_model(gnn_hidden_dim=16)
+        return run
+
+    r1 = make_run("single")
+    r1.train(batch_size=64, epoch=2, save_best_model=False)
+    r2 = make_run("mesh")
+    r2.train(batch_size=64, epoch=2, save_best_model=False, mesh=8)
+    l1 = [h["loss"] for h in r1.train_history]
+    l2 = [h["loss"] for h in r2.train_history]
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+    np.testing.assert_allclose(
+        [h["val_mse"] for h in r1.train_history],
+        [h["val_mse"] for h in r2.train_history], rtol=1e-4,
+    )
+
+
+def test_train_mesh_streamed_conflict(tmp_path):
+    """mesh + stream_features is an explicit error (TP 'model' axis is the
+    supported route for giant features under a mesh)."""
+    import pytest
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    data = KGWAS_Data.from_synthetic(
+        n_snp=150, n_gene=40, n_go=15, seed=19, data_path=str(tmp_path)
+    )
+    data.load_synthetic_gwas(seed=19)
+    data.process_gwas_file()
+    data.prepare_split()
+    run = KGWAS(data, exp_name="conflict", seed=19)
+    run.initialize_model(gnn_hidden_dim=16, stream_features=["Gene"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run.train(batch_size=64, epoch=1, mesh=8, save_best_model=False)
