@@ -81,6 +81,7 @@ def cmd_train(args):
         epoch=args.epochs,
         profile_dir=args.profile_dir,
         metrics_log=args.metrics_log,
+        mesh=args.mesh or None,
     )
     print(res[["ID", "P", "pred", "KGWAS_P"]].head())
     print(json.dumps({"test_metrics": run.test_metrics,
@@ -176,6 +177,8 @@ def main(argv=None):
     t.add_argument("--wandb", action="store_true")
     t.add_argument("--profile-dir")
     t.add_argument("--metrics-log")
+    t.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel device count (0 = single device)")
     t.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("predict", help="per-SNP predictions from a checkpoint")
