@@ -21,10 +21,16 @@ def find_closest_x(df_pred, lower_bound=0, upper_bound=200, tolerance=0.01):
     mid = (lower_bound + upper_bound) / 2
     pw = df_pred.P_weighted.values
     p = df_pred.P.values
+    # res2 is loop-invariant; the reference divides by it each iteration and
+    # crashes (ZeroDivisionError) when no GWAS p-value falls in the
+    # calibration band (possible on small SNP sets). Deviation: fall back to
+    # the neutral scale factor 1.0 instead of crashing.
+    res2 = len(np.where((p < upper) & (p > lower))[0])
+    if res2 == 0:
+        return 1.0
     while lower_bound <= upper_bound:
         mid = (lower_bound + upper_bound) / 2
         res1 = len(np.where((pw * mid < upper) & (pw * mid > lower))[0])
-        res2 = len(np.where((p < upper) & (p > lower))[0])
         result = res1 / res2
         if abs(result - 1) < tolerance:
             return mid

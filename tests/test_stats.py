@@ -140,3 +140,17 @@ def test_residual_label_modes():
     assert np.all(outs["residual-ld-ols-abs"] >= 0)
     # ld vs w-ld fits differ
     assert not np.allclose(outs["residual-ld"], outs["residual-w-ld"])
+
+
+def test_find_closest_x_empty_calibration_band():
+    """No GWAS p-value in the (1e-3, 1e-2) band: the reference divides by
+    zero here (eval_utils.py:20); we return the neutral scale factor."""
+    import pandas as pd
+
+    from kgwas_tpu.stats.calibration import find_closest_x
+
+    df = pd.DataFrame({
+        "P": [0.5, 0.9, 1e-8, 0.2],          # nothing in (1e-3, 1e-2)
+        "P_weighted": [0.4, 0.8, 1e-9, 0.3],
+    })
+    assert find_closest_x(df) == 1.0
