@@ -54,9 +54,13 @@ class MergedDstLayout:
     edge_base: np.ndarray          # int32 [R + 1]
 
 
-def build_merged_layouts(cg: CompiledGraph, tile_rows: int = 256
+def build_merged_layouts(cg: CompiledGraph, tile_rows: int = None
                          ) -> Dict[str, MergedDstLayout]:
-    """One MergedDstLayout per destination node type of the compiled graph."""
+    """One MergedDstLayout per destination node type of the compiled graph.
+    tile_rows defaults to the kernels' BN tile (ops/pallas_segment.py) —
+    tile2rel and the tile-boundary offsets must agree with it."""
+    if tile_rows is None:
+        from ..ops.pallas_segment import BN as tile_rows
     by_dst: Dict[str, List[RelationShard]] = {}
     for r in cg.relations.values():
         by_dst.setdefault(r.dst_type, []).append(r)

@@ -115,9 +115,10 @@ class CompiledGraph:
         if any(n % 256 != 0 for n in self.padded_nodes.values()):
             return None
         if self._merged_cache is None:
+            from ..ops.pallas_segment import BN
             from .merged_layout import build_merged_layouts
 
-            self._merged_cache = build_merged_layouts(self)
+            self._merged_cache = build_merged_layouts(self, tile_rows=BN)
         return self._merged_cache
 
 

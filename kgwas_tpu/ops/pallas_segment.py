@@ -41,8 +41,14 @@ NEG_BIG = -1e9
 EPS = 1e-16
 EXP_CLAMP = 60.0  # clamp exp args: out-of-tile/empty-row lanes would overflow
 
+import os as _os
+
 LANE = 128
-BN = 256   # dst rows per program
+# dst rows per program. 256 measured best on v5e (benchmarks/RESULTS.md);
+# KGWAS_PALLAS_BN=128 halves the one-hot VPU work per tile for experiments.
+# Read once at import — layouts (graph/merged_layout.py) key off it.
+BN = int(_os.environ.get("KGWAS_PALLAS_BN", "256"))
+assert BN % LANE == 0 and 256 % BN == 0, BN
 BE = 512   # edges per inner chunk (multiple of LANE)
 BR = BE // LANE
 NBUF = 2   # chunk DMA double buffering

@@ -91,11 +91,13 @@ def merged_out(cg, L, params, h):
 def test_layout_invariants(world):
     cg, layouts, params, h = world
     for dst_t, L in layouts.items():
-        assert L.n_rows_total % 256 == 0
+        from kgwas_tpu.ops.pallas_segment import BN
+
+        assert L.n_rows_total % BN == 0
         assert np.all(np.diff(L.row_offsets) >= 0)
         assert L.row_offsets[-1] == len(L.src)
         # every tile belongs to one relation
-        assert len(L.tile2rel) == L.n_rows_total // 256
+        assert len(L.tile2rel) == L.n_rows_total // BN
         # dst ids stay inside their slot's row block
         for slot in range(len(L.rel_keys)):
             lo, hi = L.edge_base[slot], L.edge_base[slot + 1]
