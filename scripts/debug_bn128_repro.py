@@ -1,15 +1,14 @@
 """BN=128 TPU failure repro (run with KGWAS_PALLAS_BN=128 on a real chip).
 
-Round-1 diagnosis (see ROADMAP.md): at >=50k-SNP scale the MASKED-loss
-gradient (jnp.take(pred, batch_idx) -> serial-scatter VJP) inside the same
-XLA program as the BN=128 Pallas kernels dies with an opaque
-"TPU backend error (Internal)". Every piece passes in isolation:
-  * all kernels (gather/fwd/bwd) at 200k-row scale
-  * the composed train step on small graphs
-  * the FULL-graph (unmasked) loss gradient at 50k scale
-  * donation on/off makes no difference
-BN=256 (default) runs the identical program correctly, so this is a
-composition-triggered compiler issue, not a DMA-margin bug in the kernels.
+Round-1 diagnosis (see ROADMAP.md): the composed BN=128 train-step program
+dies with an opaque "TPU backend error (Internal)" once the graph is large
+enough (threshold between 50k and 100k SNPs for the 2-layer 5-dst-type
+program). It is NOT any single kernel (each passes in isolation at the same
+row counts), NOT donation, and NOT the take-based loss (at 100k even a
+purely elementwise mask-loss step fails; at 50k the full-graph-loss step
+passes while the take-masked one fails — program size, not loss form).
+BN=256 (default) runs the identical program correctly. Next: HLO/Mosaic
+dump diff vs BN=256, newer jaxlib, or smaller scratch/semaphore footprint.
 """
 import numpy as np, jax, jax.numpy as jnp
 from kgwas_tpu.config import ModelConfig
