@@ -263,3 +263,26 @@ def test_train_mesh_streamed_conflict(tmp_path):
     run.initialize_model(gnn_hidden_dim=16, stream_features=["Gene"])
     with pytest.raises(ValueError, match="mutually exclusive"):
         run.train(batch_size=64, epoch=1, mesh=8, save_best_model=False)
+
+
+def test_resolve_mesh_forms(tmp_path):
+    """KGWAS._resolve_mesh accepts None/int/dict/Mesh and rejects garbage."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    data = KGWAS_Data.from_synthetic(
+        n_snp=100, n_gene=30, n_go=10, seed=23, data_path=str(tmp_path)
+    )
+    run = KGWAS(data, exp_name="rm", seed=23)
+    assert run._resolve_mesh(None) is None
+    if jax.device_count() >= 8:
+        m = run._resolve_mesh(8)
+        assert isinstance(m, Mesh) and m.shape["data"] == 8
+        m2 = run._resolve_mesh({"data": 4, "model": 2})
+        assert m2.shape["model"] == 2
+        assert run._resolve_mesh(m2) is m2
+    with pytest.raises(TypeError, match="mesh must be"):
+        run._resolve_mesh("everything")
