@@ -124,6 +124,46 @@ def apply_gat(
         )
         return out + params["bias"], None
 
+    # fused Pallas path for the UNNORMALIZED modes (sigmoid gating / raw
+    # attention, reference conv.py:219-223): per-edge weight is elementwise,
+    # so the whole reduction is one tiled segment-sum kernel — replaces
+    # XLA's serial TPU scatter (see benchmarks/RESULTS.md)
+    if (
+        use_pallas
+        and H == 1
+        and (sigmoid_gat or raw_attention)
+        and not (dropout_p > 0.0 and dropout_rng is not None)
+        and not return_alpha
+        and row_offsets is not None
+        and num_dst_segments % 256 == 0
+        and (H * C) % 128 == 0
+    ):
+        from ..ops.pallas_segment import gather_rows_csc, segment_sum_edges
+
+        interpret = jax.default_backend() != "tpu"
+        a = (
+            jax.nn.sigmoid(alpha[:, 0] / temperature)
+            if sigmoid_gat
+            else alpha[:, 0]
+        )
+        a = jnp.where(valid, a, 0.0)
+        if (
+            csc is not None
+            and csc[0] is not None
+            and num_src_segments is not None
+            and num_src_segments % 256 == 0
+        ):
+            msgs = gather_rows_csc(
+                xs, src, csc[0], csc[1], csc[2], num_src_segments, interpret
+            )
+        else:
+            msgs = gather_rows(xs, src)
+        out = segment_sum_edges(
+            msgs * a[:, None], dst, jnp.asarray(row_offsets),
+            num_dst_segments, interpret,
+        )
+        return out + params["bias"], None
+
     if sigmoid_gat:
         alpha = jax.nn.sigmoid(alpha / temperature)
     elif raw_attention:

@@ -635,6 +635,32 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def segment_sum_edges(vals, ids, row_offsets, n_rows, interpret=False):
+    """Differentiable dst-sorted segment-sum over the Pallas kernel.
+
+    vals [E, D] float (edge-ordered, dst-sorted), ids [E] int32 ascending,
+    row_offsets [n_rows+1] int32 (traced is fine). Forward runs the tiled
+    MXU accumulation kernel (XLA's TPU scatter is a serial per-element
+    loop); backward is the transpose — a plain row gather d_vals = g[ids].
+    Used by the sigmoid/raw GAT modes (models/convs.py), which weight
+    messages per edge without softmax normalization (reference
+    kgwas/conv.py:219-223)."""
+    tile_starts = jnp.concatenate([row_offsets[::BN], row_offsets[-1:]])
+    return _pallas_segment_sum_ts(vals, ids, tile_starts, n_rows, interpret)
+
+
+def _sse_fwd(vals, ids, row_offsets, n_rows, interpret):
+    return segment_sum_edges(vals, ids, row_offsets, n_rows, interpret), ids
+
+
+def _sse_bwd(n_rows, interpret, ids, g):
+    return jnp.take(g, ids, axis=0), None, None
+
+
+segment_sum_edges.defvjp(_sse_fwd, _sse_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def gather_rows_csc(x, idx, csc_perm_np, csc_ids_np, csc_offsets_np,
                     n_src_rows, interpret=False):

@@ -176,3 +176,77 @@ def test_gather_rows_csc_grad_matches_xla():
     gx = jax.grad(loss_x)(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_model_sigmoid_gat_pallas_matches_xla():
+    """sigmoid_gat rides the segment_sum_edges kernel (no softmax needed);
+    must match the XLA path end to end including grads."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=15)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        sigmoid_gat=True, temperature=2.0)
+    cfg_p = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        sigmoid_gat=True, temperature=2.0, use_pallas=True)
+    params = init_hetero_gnn(jax.random.PRNGKey(11), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    n_real = cg.num_nodes["SNP"]
+    out_x = apply_hetero_gnn(params, cfg_x, meta, arrays)
+    out_p = apply_hetero_gnn(params, cfg_p, meta, arrays)
+    np.testing.assert_allclose(
+        np.asarray(out_x)[:n_real], np.asarray(out_p)[:n_real],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gp = jax.grad(lambda p: loss(p, cfg_p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
+def test_raw_attention_conv_pallas_matches_xla():
+    """raw (pre-softmax) attention mode through the per-relation conv: the
+    segment_sum_edges branch must match the XLA path."""
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models.convs import apply_gat, init_gat
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=17)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    rk = "SNP__TSS__Gene"
+    r = cg.relations[rk]
+    params = init_gat(jax.random.PRNGKey(3), 128, 128, 128, 1)
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.standard_normal(
+        (cg.padded_nodes["SNP"], 128)).astype(np.float32))
+    xd = jnp.asarray(rng.standard_normal(
+        (cg.padded_nodes["Gene"], 128)).astype(np.float32))
+    common = dict(
+        num_real_edges=r.num_edges,
+        num_dst_segments=cg.padded_nodes["Gene"],
+        heads=1, out_channels=128, raw_attention=True,
+        row_offsets=r.row_offsets,
+        csc=(r.csc_perm, r.csc_src_sorted, r.csc_offsets),
+        num_src_segments=cg.padded_nodes["SNP"],
+    )
+    out_x, _ = apply_gat(params, xs, xd, jnp.asarray(r.src),
+                         jnp.asarray(r.dst), use_pallas=False, **common)
+    out_p, _ = apply_gat(params, xs, xd, jnp.asarray(r.src),
+                         jnp.asarray(r.dst), use_pallas=True, **common)
+    n_real = cg.num_nodes["Gene"]
+    np.testing.assert_allclose(
+        np.asarray(out_x)[:n_real], np.asarray(out_p)[:n_real],
+        rtol=1e-4, atol=1e-4,
+    )
