@@ -29,6 +29,13 @@ class ModelConfig:
     sigmoid_gat: bool = False
     temperature: float = 1.0
     out_channels: int = 1
+    # edge-feature attention (reference conv.py:95-101): dim of per-edge
+    # features; enables lin_edge/att_edge and the alpha_edge term
+    edge_dim: Optional[int] = None
+    # pheno-conditioning hooks (reference conv.py:70-77): 'ATT' | 'MSG' |
+    # None. The reference only *creates* parameters for these (pheno_emb is
+    # never read in edge_update/message) — kept for state-dict parity.
+    pheno_condition: Optional[str] = None
     # TPU-specific knobs (new; not in reference)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # set "bfloat16" for MXU speed mode

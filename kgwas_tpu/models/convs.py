@@ -40,15 +40,50 @@ from .init import glorot_att, glorot_weight, torch_linear_bias, torch_linear_wei
 # GAT
 # ---------------------------------------------------------------------------
 
-def init_gat(key, in_src: int, in_dst: int, out: int, heads: int, dtype=jnp.float32):
-    ks = jax.random.split(key, 4)
-    return {
+def init_gat(
+    key,
+    in_src: int,
+    in_dst: int,
+    out: int,
+    heads: int,
+    dtype=jnp.float32,
+    edge_dim: Optional[int] = None,
+    pheno_condition=None,
+):
+    """GATConv parameters (reference kgwas/conv.py:70-120).
+
+    edge_dim: enables the edge-feature attention term (lin_edge + att_edge,
+    reference conv.py:95-101).
+
+    pheno_condition ('ATT' | 'MSG' | falsy): mirrors reference conv.py:70-77.
+    These hooks only *create* parameters — the reference's edge_update/message
+    never read pheno_emb, so the parameters are inert in the math; we create
+    them anyway for checkpoint/state-dict parity. Reference quirk kept: with
+    pheno_condition='ATT' *and* edge_dim set, the reference assigns att_edge
+    twice and the edge_dim one wins (module attribute overwrite); either way
+    exactly one att_edge exists and reset_parameters glorots it once.
+    """
+    ks = jax.random.split(key, 8)
+    p = {
         "lin_src": {"w": glorot_weight(ks[0], in_src, heads * out, dtype)},
         "lin_dst": {"w": glorot_weight(ks[1], in_dst, heads * out, dtype)},
         "att_src": glorot_att(ks[2], heads, out, dtype),
         "att_dst": glorot_att(ks[3], heads, out, dtype),
         "bias": zeros((heads * out,), dtype),
     }
+    if pheno_condition == "ATT":
+        # reference conv.py:71-73: Linear(out_channels, H*out) + att_edge
+        p["lin_edge_"] = {"w": glorot_weight(ks[4], out, heads * out, dtype)}
+        p["att_edge"] = glorot_att(ks[5], heads, out, dtype)
+    elif pheno_condition == "MSG":
+        # reference conv.py:76-77: Linear(edge_dim, H*out)
+        if edge_dim is None:
+            raise ValueError("pheno_condition='MSG' requires edge_dim (reference conv.py:76)")
+        p["pheno_mlp"] = {"w": glorot_weight(ks[6], edge_dim, heads * out, dtype)}
+    if edge_dim is not None:
+        p["lin_edge"] = {"w": glorot_weight(ks[7], edge_dim, heads * out, dtype)}
+        p["att_edge"] = glorot_att(ks[5], heads, out, dtype)
+    return p
 
 
 def apply_gat(
@@ -72,6 +107,7 @@ def apply_gat(
     row_offsets=None,
     csc=None,
     num_src_segments: Optional[int] = None,
+    edge_attr: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     H, C = heads, out_channels
     e_pad = src.shape[0]
@@ -84,6 +120,12 @@ def apply_gat(
     a_dst = jnp.sum(xd.reshape(-1, H, C) * params["att_dst"], axis=-1)  # [Nd, H]
 
     alpha = gather_rows(a_src, src) + gather_rows(a_dst, dst)           # [E, H]
+    if edge_attr is not None and "lin_edge" in params:
+        # edge-feature attention term (reference conv.py:207-215): added to
+        # alpha BEFORE the leaky_relu
+        ea = edge_attr.reshape(e_pad, -1)          # dim-1 attrs -> [E, 1]
+        ea = (ea @ params["lin_edge"]["w"]).reshape(e_pad, H, C)
+        alpha = alpha + jnp.sum(ea * params["att_edge"], axis=-1)
     alpha = leaky_relu(alpha, negative_slope)
 
     # fused Pallas path: one-pass softmax+aggregate (softmax mode, 1 head,

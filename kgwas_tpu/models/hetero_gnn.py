@@ -82,7 +82,11 @@ def init_hetero_gnn(
         rkeys = jax.random.split(keys[3 + li], max(len(rel_keys), 1))
         for rk, rkey in zip(rel_keys, rkeys):
             if cfg.gnn_backbone == "GAT":
-                layer[rk] = init_gat(rkey, lin, lin, h, cfg.gat_num_head, dtype)
+                layer[rk] = init_gat(
+                    rkey, lin, lin, h, cfg.gat_num_head, dtype,
+                    edge_dim=cfg.edge_dim,
+                    pheno_condition=cfg.pheno_condition,
+                )
             elif cfg.gnn_backbone == "SAGE":
                 layer[rk] = init_sage(rkey, h, h, h, dtype)
             elif cfg.gnn_backbone == "GCN":
@@ -143,6 +147,7 @@ def _apply_relation_conv(
             row_offsets=row_offsets,
             csc=csc,
             num_src_segments=ns,
+            edge_attr=edges.get("edge_attr"),
         )
     if cfg.gnn_backbone == "SAGE":
         return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd), None
@@ -187,21 +192,47 @@ def apply_encoders(
     return out
 
 
+_MERGED_FALLBACK_WARNED: set = set()
+
+
 def _merged_path_active(cfg: ModelConfig, meta: dict, raw_attention,
                         collect_alpha, training) -> bool:
-    return (
-        cfg.use_pallas
-        and cfg.pallas_mode == "merged"
-        and cfg.gnn_backbone == "GAT"
-        and cfg.gnn_aggr == "sum"
-        and cfg.gat_num_head == 1
-        and not cfg.sigmoid_gat
-        and not raw_attention
-        and not collect_alpha
-        and not (training and cfg.dropout > 0.0)
-        and cfg.gnn_hidden_dim % 128 == 0
-        and meta.get("merged") is not None
-    )
+    if not (cfg.use_pallas and cfg.pallas_mode == "merged"):
+        return False
+    reasons = []
+    if cfg.gnn_backbone != "GAT":
+        reasons.append(f"backbone={cfg.gnn_backbone} (need GAT)")
+    if cfg.gnn_aggr != "sum":
+        reasons.append(f"aggr={cfg.gnn_aggr} (need sum)")
+    if cfg.gat_num_head != 1:
+        reasons.append(f"heads={cfg.gat_num_head} (need 1)")
+    if cfg.sigmoid_gat:
+        reasons.append("sigmoid_gat")
+    if raw_attention:
+        reasons.append("raw_attention")
+    if collect_alpha:
+        reasons.append("collect_alpha")
+    if training and cfg.dropout > 0.0:
+        reasons.append(f"dropout={cfg.dropout}")
+    if cfg.edge_dim is not None:
+        reasons.append("edge_dim set")
+    if cfg.gnn_hidden_dim % 128 != 0:
+        reasons.append(f"hidden={cfg.gnn_hidden_dim} (need %128==0)")
+    if meta.get("merged") is None:
+        reasons.append("graph compiled without merged layouts")
+    if not reasons:
+        return True
+    # the slow path is ~3x the fused one — tell the user why, once per cause
+    key = tuple(reasons)
+    if key not in _MERGED_FALLBACK_WARNED:
+        _MERGED_FALLBACK_WARNED.add(key)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kgwas_tpu: merged Pallas fast path disabled (~3x slower XLA "
+            "fallback in use): %s", "; ".join(reasons),
+        )
+    return False
 
 
 def apply_merged_gat_layer(

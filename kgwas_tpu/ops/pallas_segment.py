@@ -49,6 +49,29 @@ LANE = 128
 # Read once at import — layouts (graph/merged_layout.py) key off it.
 BN = int(_os.environ.get("KGWAS_PALLAS_BN", "256"))
 assert BN % LANE == 0 and 256 % BN == 0, BN
+
+_BN128_WARNED = False
+
+
+def _check_bn_supported():
+    """BN=128 is known to kill the COMPOSED train step on real TPU above
+    ~25-50k SNPs with an opaque 'TPU backend error (Internal)' even though
+    every kernel passes in isolation (ROADMAP.md; repro
+    scripts/debug_bn128_repro.py). Warn loudly on the TPU backend; CPU
+    interpret experiments stay allowed."""
+    global _BN128_WARNED
+    if BN != 256 and not _BN128_WARNED and jax.default_backend() == "tpu":
+        _BN128_WARNED = True
+        import warnings
+
+        warnings.warn(
+            f"KGWAS_PALLAS_BN={BN} is unstable on the TPU backend for "
+            "composed train steps above ~25k SNPs (opaque 'TPU backend "
+            "error (Internal)'); use the default BN=256 for real runs. "
+            "See ROADMAP.md / scripts/debug_bn128_repro.py.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 BE = 512   # edges per inner chunk (multiple of LANE)
 BR = BE // LANE
 NBUF = 2   # chunk DMA double buffering
@@ -509,6 +532,7 @@ def fused_segment_softmax_spmm(msgs, logits, dst, row_offsets_np, n_rows,
     row_offsets_np: NUMPY int32 [n_rows+1] (static, scalar-prefetched).
     n_rows must be a multiple of 256 (BN).
     """
+    _check_bn_supported()
     out, _, _ = _fused_forward(
         msgs, logits, dst, jnp.asarray(row_offsets_np), n_rows, interpret
     )
@@ -602,6 +626,7 @@ def _segsum_kernel(
 def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
     """out[r] = sum_{e: ids[e]=r} vals[e]; ids ascending, n_rows % 256 == 0,
     D % 128 == 0."""
+    _check_bn_supported()
     d = vals.shape[1]
     n_tiles = n_rows // BN
     vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)

@@ -18,7 +18,7 @@ from kgwas_tpu.models import (
 
 def dense_gat_oracle(params, x_src, x_dst, src, dst, n_dst, H, C,
                      negative_slope=0.2, temperature=1.0, sigmoid_gat=False,
-                     raw=False):
+                     raw=False, edge_attr=None):
     """Literal per-edge numpy re-statement of reference kgwas/conv.py:122-228."""
     xs = (x_src @ np.asarray(params["lin_src"]["w"])).reshape(-1, H, C)
     xd = (x_dst @ np.asarray(params["lin_dst"]["w"])).reshape(-1, H, C)
@@ -26,6 +26,10 @@ def dense_gat_oracle(params, x_src, x_dst, src, dst, n_dst, H, C,
     a_dst = (xd * np.asarray(params["att_dst"])).sum(-1)  # [Nd,H]
     e = len(src)
     alpha = a_src[src] + a_dst[dst]
+    if edge_attr is not None:
+        # reference conv.py:207-215: edge term added BEFORE leaky_relu
+        ea = edge_attr.reshape(e, -1) @ np.asarray(params["lin_edge"]["w"])
+        alpha = alpha + (ea.reshape(e, H, C) * np.asarray(params["att_edge"])).sum(-1)
     alpha = np.where(alpha >= 0, alpha, negative_slope * alpha)
     if sigmoid_gat:
         alpha = 1.0 / (1.0 + np.exp(-alpha / temperature))
@@ -77,6 +81,82 @@ def test_gat_matches_dense_oracle(heads, sigmoid_gat, raw):
     )
     np.testing.assert_allclose(np.asarray(out)[:n_dst], expected, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(alpha)[:e], exp_alpha, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("edge_dim,heads", [(1, 1), (3, 2)])
+def test_gat_edge_attr_matches_dense_oracle(edge_dim, heads):
+    """Edge-feature attention (reference conv.py:95-101, 207-215)."""
+    rng = np.random.default_rng(9)
+    n_src, n_dst, e, e_pad, din, C = 13, 9, 40, 64, 6, 5
+    src, dst = _sorted_edges(rng, n_src, n_dst, e, e_pad)
+    x_src = rng.standard_normal((n_src + 1, din)).astype(np.float32)
+    x_dst = rng.standard_normal((n_dst + 1, din)).astype(np.float32)
+    ea = rng.standard_normal((e_pad, edge_dim)).astype(np.float32)
+    if edge_dim == 1:
+        ea = ea[:, 0]  # dim-1 attrs arrive as [E] (reference conv.py:208-209)
+    params = init_gat(jax.random.PRNGKey(0), din, din, C, heads,
+                      edge_dim=edge_dim)
+    assert "lin_edge" in params and "att_edge" in params
+
+    out, alpha = apply_gat(
+        params, jnp.asarray(x_src), jnp.asarray(x_dst),
+        jnp.asarray(src), jnp.asarray(dst),
+        num_real_edges=e, num_dst_segments=n_dst + 1,
+        heads=heads, out_channels=C, return_alpha=True,
+        edge_attr=jnp.asarray(ea),
+    )
+    expected, exp_alpha = dense_gat_oracle(
+        params, x_src[:n_src], x_dst[:n_dst], src[:e], dst[:e], n_dst,
+        heads, C, edge_attr=np.asarray(ea)[:e],
+    )
+    np.testing.assert_allclose(np.asarray(out)[:n_dst], expected, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha)[:e], exp_alpha, rtol=2e-4, atol=2e-5)
+
+
+def test_gat_pheno_condition_params_created_but_inert():
+    """pheno_condition hooks create parameters only — the reference's
+    edge_update/message never read pheno_emb (conv.py:70-77 vs 200-228)."""
+    p_att = init_gat(jax.random.PRNGKey(1), 6, 6, 5, 1, pheno_condition="ATT")
+    assert "lin_edge_" in p_att and "att_edge" in p_att
+    p_msg = init_gat(jax.random.PRNGKey(1), 6, 6, 5, 1, pheno_condition="MSG",
+                     edge_dim=4)
+    assert "pheno_mlp" in p_msg
+    with pytest.raises(ValueError):
+        init_gat(jax.random.PRNGKey(1), 6, 6, 5, 1, pheno_condition="MSG")
+
+    # inert in the math: identical outputs with/without the hook params
+    rng = np.random.default_rng(2)
+    n_src, n_dst, e, e_pad, din, C = 7, 5, 12, 16, 6, 5
+    src, dst = _sorted_edges(rng, n_src, n_dst, e, e_pad)
+    x_src = rng.standard_normal((n_src + 1, din)).astype(np.float32)
+    x_dst = rng.standard_normal((n_dst + 1, din)).astype(np.float32)
+    base = init_gat(jax.random.PRNGKey(3), din, din, C, 1)
+    withp = dict(base)
+    withp["lin_edge_"] = p_att["lin_edge_"]
+    withp["att_edge"] = p_att["att_edge"]
+    kw = dict(num_real_edges=e, num_dst_segments=n_dst + 1, heads=1,
+              out_channels=C)
+    o1, _ = apply_gat(base, jnp.asarray(x_src), jnp.asarray(x_dst),
+                      jnp.asarray(src), jnp.asarray(dst), **kw)
+    o2, _ = apply_gat(withp, jnp.asarray(x_src), jnp.asarray(x_dst),
+                      jnp.asarray(src), jnp.asarray(dst), **kw)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_hetero_gnn_with_edge_dim_config():
+    cg = _compiled()
+    cfg = ModelConfig(gnn_hidden_dim=16, edge_dim=2)
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(6), cfg, meta, 20, 32, 16)
+    rk0 = next(iter(params["convs"][0]))
+    assert "lin_edge" in params["convs"][0][rk0]
+    arrays = cg.arrays()
+    rng = np.random.default_rng(4)
+    for rk, ed in arrays["edges"].items():
+        ed["edge_attr"] = jnp.asarray(
+            rng.standard_normal((ed["src"].shape[0], 2)).astype(np.float32))
+    pred = apply_hetero_gnn(params, cfg, meta, arrays)
+    assert np.all(np.isfinite(np.asarray(pred)[: cg.num_nodes["SNP"]]))
 
 
 def _compiled(seed=7):
