@@ -148,7 +148,12 @@ def import_torch_state_dict(state_dict, num_layers: int, backbone: str = "GAT"):
     for k, v in state_dict.items():
         if k.startswith("module."):
             k = k[7:]
-        sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        # copy=True: torch .numpy() returns a VIEW of the tensor storage, and
+        # jax's CPU backend can zero-copy numpy arrays — without the copy,
+        # later in-place mutation of the torch module (e.g. optimizer steps)
+        # would silently corrupt the imported parameters
+        sd[k] = np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                         copy=True)
 
     params: dict = {"convs": [dict() for _ in range(num_layers)], "lin": {}}
 

@@ -49,8 +49,18 @@ def init_gat(
     dtype=jnp.float32,
     edge_dim: Optional[int] = None,
     pheno_condition=None,
+    share_dst: bool = False,
 ):
     """GATConv parameters (reference kgwas/conv.py:70-120).
+
+    share_dst: for HOMOGENEOUS relations (src_type == dst_type) PyG's
+    HeteroConv passes a single Tensor, so the reference GATConv takes the
+    `isinstance(x, Tensor)` branch (conv.py:136-138): x_src = x_dst =
+    lin_src(x) — the lazy lin_dst is NEVER materialized and lin_src carries
+    both projections (and both gradient paths). Set share_dst=True for those
+    relations: no lin_dst is created and apply_gat falls back to lin_src.
+    (Found by the verbatim-reference parity oracle,
+    tests/test_reference_parity.py.)
 
     edge_dim: enables the edge-feature attention term (lin_edge + att_edge,
     reference conv.py:95-101).
@@ -66,11 +76,12 @@ def init_gat(
     ks = jax.random.split(key, 8)
     p = {
         "lin_src": {"w": glorot_weight(ks[0], in_src, heads * out, dtype)},
-        "lin_dst": {"w": glorot_weight(ks[1], in_dst, heads * out, dtype)},
         "att_src": glorot_att(ks[2], heads, out, dtype),
         "att_dst": glorot_att(ks[3], heads, out, dtype),
         "bias": zeros((heads * out,), dtype),
     }
+    if not share_dst:
+        p["lin_dst"] = {"w": glorot_weight(ks[1], in_dst, heads * out, dtype)}
     if pheno_condition == "ATT":
         # reference conv.py:71-73: Linear(out_channels, H*out) + att_edge
         p["lin_edge_"] = {"w": glorot_weight(ks[4], out, heads * out, dtype)}
@@ -114,7 +125,10 @@ def apply_gat(
     valid = edge_valid_mask(e_pad, num_real_edges)
 
     xs = x_src @ params["lin_src"]["w"]            # [Ns, H*C]
-    xd = x_dst @ params["lin_dst"]["w"]            # [Nd, H*C]
+    # homogeneous relations share lin_src for the dst projection (reference
+    # conv.py:136-138 Tensor branch; see init_gat share_dst)
+    wd = params["lin_dst"]["w"] if "lin_dst" in params else params["lin_src"]["w"]
+    xd = x_dst @ wd                                # [Nd, H*C]
 
     a_src = jnp.sum(xs.reshape(-1, H, C) * params["att_src"], axis=-1)  # [Ns, H]
     a_dst = jnp.sum(xd.reshape(-1, H, C) * params["att_dst"], axis=-1)  # [Nd, H]

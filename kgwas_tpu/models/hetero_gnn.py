@@ -82,10 +82,12 @@ def init_hetero_gnn(
         rkeys = jax.random.split(keys[3 + li], max(len(rel_keys), 1))
         for rk, rkey in zip(rel_keys, rkeys):
             if cfg.gnn_backbone == "GAT":
+                src_t, _, dst_t = rel_types[rk]
                 layer[rk] = init_gat(
                     rkey, lin, lin, h, cfg.gat_num_head, dtype,
                     edge_dim=cfg.edge_dim,
                     pheno_condition=cfg.pheno_condition,
+                    share_dst=src_t == dst_t,
                 )
             elif cfg.gnn_backbone == "SAGE":
                 layer[rk] = init_sage(rkey, h, h, h, dtype)
@@ -268,7 +270,8 @@ def apply_merged_gat_layer(
             att_rows.append(rp["att_src"].reshape(-1))
             # a_dst = (h @ W_dst) . att_dst == h @ (W_dst @ att_dst):
             # collapses the full dst projection into a matvec
-            v = rp["lin_dst"]["w"] @ rp["att_dst"].reshape(-1)
+            wd = rp["lin_dst"]["w"] if "lin_dst" in rp else rp["lin_src"]["w"]
+            v = wd @ rp["att_dst"].reshape(-1)
             adst_parts.append(h[dst_t] @ v)
             b = rp["bias"]
             bias_sum = b if bias_sum is None else bias_sum + b
