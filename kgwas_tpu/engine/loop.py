@@ -61,12 +61,29 @@ def make_forward(cfg: ModelConfig, meta: dict) -> Callable:
     return forward
 
 
-def make_forward_streamed(cfg: ModelConfig, meta: dict) -> Callable:
+def make_forward_streamed(cfg: ModelConfig, meta: dict, mesh=None,
+                          arrays_template=None, streamed_types=()) -> Callable:
     """Forward with host-streamed giant features: (params, arrays_stripped,
-    x_host) -> per-SNP predictions."""
+    x_host) -> per-SNP predictions. mesh: optional — row-shard h1 and run the
+    graph GSPMD-partitioned (streamed x mesh composition)."""
     from .streamed import compute_h1
 
-    @jax.jit
+    row_sharding = None
+    jit_kwargs: dict = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.shard import graph_shardings, replicated
+
+        assert arrays_template is not None
+        row_sharding = NamedSharding(mesh, P("data", None))
+        rep = replicated(mesh)
+        gsh = graph_shardings(mesh, arrays_template)
+        h1_sh = {t: row_sharding for t in streamed_types}
+        jit_kwargs = dict(in_shardings=(rep, gsh, h1_sh),
+                          out_shardings=rep)
+
+    @partial(jax.jit, **jit_kwargs)
     def _fwd(params, arrays, h1):
         pred = apply_hetero_gnn(
             params, cfg, meta, arrays, training=False, h1_override=h1
@@ -74,7 +91,8 @@ def make_forward_streamed(cfg: ModelConfig, meta: dict) -> Callable:
         return pred[:, 0]
 
     def forward(params, arrays, x_host):
-        h1 = compute_h1(params, x_host, meta["padded_nodes"])
+        h1 = compute_h1(params, x_host, meta["padded_nodes"],
+                        row_sharding=row_sharding)
         return _fwd(params, arrays, h1)
 
     return forward

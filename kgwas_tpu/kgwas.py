@@ -161,21 +161,23 @@ class KGWAS:
 
         cg = self.data.compile()
         streamed = getattr(self, "stream_features", [])
-        if streamed and mesh is not None:
-            raise ValueError(
-                "stream_features and mesh training are mutually exclusive "
-                "for now; shard the giant features with the TP 'model' axis "
-                "instead (parallel/shard.py)"
-            )
         if streamed:
             from .engine.streamed import strip_streamed_features
 
             self._x_host = {
                 t: cg.node_x[t][: cg.num_nodes[t]] for t in streamed
             }
-            arrays = jax.device_put(
-                strip_streamed_features(cg.arrays(), streamed, cg.padded_nodes)
+            stripped = strip_streamed_features(
+                cg.arrays(), streamed, cg.padded_nodes
             )
+            if mesh is not None:
+                # streamed x mesh composition: the stripped graph shards
+                # like any other, h1 rows shard in engine/streamed.py
+                from .parallel.shard import shard_graph_arrays
+
+                arrays = shard_graph_arrays(mesh, stripped)
+            else:
+                arrays = jax.device_put(stripped)
         elif mesh is not None:
             from .parallel.shard import shard_graph_arrays
 
@@ -267,17 +269,35 @@ class KGWAS:
         streamed = getattr(self, "stream_features", [])
         if streamed:
             from .engine.loop import make_forward_streamed
-            from .engine.streamed import make_streamed_train_step
+            from .engine.streamed import (
+                make_streamed_train_step,
+                strip_streamed_features,
+            )
 
+            template = None
+            if mesh is not None:
+                cg_t = self.data.compile()
+                template = strip_streamed_features(
+                    cg_t.arrays(), streamed, cg_t.padded_nodes
+                )
+                from .parallel.shard import node_vector_sharding, replicated
+
+                nodes = node_vector_sharding(mesh)
+                y_node = jax.device_put(y_node, nodes)
+                w_node = jax.device_put(w_node, nodes)
             streamed_step = make_streamed_train_step(
-                self.model_cfg, self.meta, optimizer, streamed
+                self.model_cfg, self.meta, optimizer, streamed,
+                mesh=mesh, arrays_template=template,
             )
             x_host = self._x_host
 
             def train_step(params, opt_state, arrays, bidx, y, w):
                 return streamed_step(params, opt_state, arrays, x_host, bidx, y, w)
 
-            fwd_streamed = make_forward_streamed(self.model_cfg, self.meta)
+            fwd_streamed = make_forward_streamed(
+                self.model_cfg, self.meta, mesh=mesh, arrays_template=template,
+                streamed_types=streamed,
+            )
 
             def forward(params, arrays):
                 return fwd_streamed(params, arrays, x_host)

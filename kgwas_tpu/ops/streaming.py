@@ -33,17 +33,34 @@ def streamed_matmul(
     w,
     bias=None,
     col_chunk: int = 8192,
+    row_sharding=None,
+    row_pad_to=None,
 ):
     """h = x_host @ w (+ bias). x_host: [N, D] host array/memmap; w: [D, H]
-    device array. Streams D in chunks of col_chunk columns."""
+    device array. Streams D in chunks of col_chunk columns.
+
+    row_sharding: optional NamedSharding (e.g. P('data', None)) — each host
+    chunk and the accumulator are row-sharded over the mesh, so the streamed
+    matmul's memory AND flops distribute across the data axis (the
+    streamed-features x mesh composition, VERDICT round-1 item 6).
+
+    row_pad_to: pad the OUTPUT row count (zero feature rows, so padded h1
+    rows equal the bias — the in-HBM pad-row semantics). Padding happens per
+    column chunk, never on the full host table."""
     n, d = x_host.shape
     h = w.shape[1]
-    acc = jnp.zeros((n, h), dtype=w.dtype)
+    n_out = row_pad_to if row_pad_to is not None else n
+    acc = jnp.zeros((n_out, h), dtype=w.dtype)
+    if row_sharding is not None:
+        acc = jax.device_put(acc, row_sharding)
     for c0 in range(0, d, col_chunk):
         c1 = min(c0 + col_chunk, d)
-        xc = jax.device_put(
-            np.ascontiguousarray(x_host[:, c0:c1], dtype=np.float32)
-        )
+        xc = np.ascontiguousarray(x_host[:, c0:c1], dtype=np.float32)
+        if n_out > n:
+            xc = np.concatenate(
+                [xc, np.zeros((n_out - n, c1 - c0), dtype=np.float32)], axis=0)
+        xc = (jax.device_put(xc, row_sharding) if row_sharding is not None
+              else jax.device_put(xc))
         acc = _acc_matmul(acc, xc, jax.lax.slice(w, (c0, 0), (c1, h)))
     if bias is not None:
         acc = acc + bias
@@ -54,15 +71,27 @@ def streamed_grad_w(
     x_host: np.ndarray,
     dh,
     col_chunk: int = 8192,
+    row_sharding=None,
+    row_pad_to=None,
 ):
-    """dW = x_host^T @ dh, streamed over column chunks. Returns [D, H]."""
+    """dW = x_host^T @ dh, streamed over column chunks. Returns [D, H].
+
+    row_sharding: shard each chunk's rows like dh so the contraction runs
+    row-parallel (GSPMD inserts the psum over the data axis). row_pad_to:
+    zero-pad chunk rows to dh's (padded, mesh-divisible) row count — pad
+    rows are zero so dW is unaffected."""
     n, d = x_host.shape
     hdim = dh.shape[1]
+    n_rows = row_pad_to if row_pad_to is not None else n
     parts = []
     for c0 in range(0, d, col_chunk):
         c1 = min(c0 + col_chunk, d)
-        xc = jax.device_put(
-            np.ascontiguousarray(x_host[:, c0:c1], dtype=np.float32)
-        )
+        xc = np.ascontiguousarray(x_host[:, c0:c1], dtype=np.float32)
+        if n_rows > n:
+            xc = np.concatenate(
+                [xc, np.zeros((n_rows - n, c1 - c0), dtype=np.float32)],
+                axis=0)
+        xc = (jax.device_put(xc, row_sharding) if row_sharding is not None
+              else jax.device_put(xc))
         parts.append(np.asarray(jnp.matmul(xc.T, dh)))
     return jnp.asarray(np.concatenate(parts, axis=0))

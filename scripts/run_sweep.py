@@ -48,8 +48,11 @@ def run_job(job, args):
     run.initialize_model(
         gnn_num_layers=args.layers, gnn_hidden_dim=args.hidden
     )
+    train_kwargs = {}
+    if getattr(args, "mesh_data", None):
+        train_kwargs["mesh"] = args.mesh_data
     res = run.train(epoch=args.epochs, batch_size=args.batch_size,
-                    save_best_model=False)
+                    save_best_model=False, **train_kwargs)
     return {
         "job": list(job),
         "gwas_hits_5e8": int((res.P < 5e-8).sum()),
@@ -81,7 +84,26 @@ def main():
     ap.add_argument("--sample-ratio", type=float, default=1.0)
     ap.add_argument("--host-index", type=int, default=None)
     ap.add_argument("--num-hosts", type=int, default=None)
+    # multi-host runtime (jax.distributed over DCN): when --coordinator is
+    # given, every process joins one global mesh and trains each job
+    # data-parallel over all hosts' devices (tests/test_multihost.py is the
+    # CI-runnable 2-process rig for this path); without it, hosts shard the
+    # JOB LIST instead (embarrassingly parallel sweeps)
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port for"
+                         " jax.distributed.initialize")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--mesh-data", type=int, default=None,
+                    help="train each job over a data-parallel mesh of this"
+                         " size (requires --coordinator for multi-host)")
     args = ap.parse_args()
+
+    if args.coordinator is not None:
+        from kgwas_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     if args.host_index is None:
         try:
@@ -96,7 +118,11 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     jobs = job_list(args)
-    my_jobs = jobs[host_index::num_hosts]
+    if args.coordinator is not None:
+        # one global mesh: every process walks the SAME job list in lockstep
+        my_jobs = jobs
+    else:
+        my_jobs = jobs[host_index::num_hosts]
     print(f"[sweep] host {host_index}/{num_hosts}: {len(my_jobs)} of "
           f"{len(jobs)} jobs")
 

@@ -1,0 +1,126 @@
+"""Multi-host (DCN) worker: one jax.distributed process of a 2-process CPU
+rig (SURVEY.md section 2.3 item 3 / BASELINE "N>=2 hosts" scaling axis).
+
+Spawned by tests/test_multihost.py as:
+    python multihost_worker.py <process_id> <num_processes> <port> <outfile>
+
+Each process owns 2 virtual CPU devices; the global mesh is
+(data=2*num_processes, model=1). Both processes build the identical synthetic
+pipeline, assemble GLOBAL arrays shard-by-shard (jax.make_array_from_callback
+— each process materializes only its addressable shards), and run the same
+GSPMD train step as single-host training (parallel/shard.py). Process 0
+writes the per-step losses to <outfile> for the parent test to compare
+against the single-process trajectory.
+"""
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, port, outfile = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+
+    # CPU with 2 local devices — must happen before any backend init
+    # (sitecustomize pins JAX_PLATFORMS to the TPU tunnel at startup)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from kgwas_tpu.parallel.mesh import init_distributed
+
+    process_index, process_count = init_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert process_count == nproc
+    assert jax.device_count() == 2 * nproc
+    assert jax.local_device_count() == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.engine.loop import build_optimizer
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.parallel.mesh import make_mesh
+    from kgwas_tpu.parallel.shard import (
+        graph_shardings,
+        make_sharded_train_step,
+        node_vector_sharding,
+        replicated,
+    )
+
+    n_dev = 2 * nproc
+    # deterministic identical pipeline on every process
+    g = make_synthetic_kg(n_snp=96, n_gene=40, n_go=16, seed=3)
+    cg = compile_graph(g, edge_pad_multiple=16 * n_dev,
+                       node_pad_multiple=8 * n_dev)
+    cfg = ModelConfig(gnn_hidden_dim=16, no_relu=True)
+    meta = cg.meta()
+    params_host = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 32, 16)
+
+    mesh = make_mesh(data=n_dev, model=1)
+
+    def globalize(tree, shardings):
+        """Host-identical numpy pytree -> global jax.Arrays."""
+        def one(a, s):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(a.shape, s, lambda idx: a[idx])
+        return jax.tree_util.tree_map(
+            one, tree, shardings,
+            is_leaf=lambda x: not isinstance(x, dict))
+
+    arrays_host = cg.arrays()
+    arrays = globalize(arrays_host, graph_shardings(mesh, arrays_host))
+    rep = replicated(mesh)
+    params = jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_callback(
+            np.asarray(a).shape, rep, lambda idx: np.asarray(a)[idx]),
+        params_host)
+
+    n_snp = cg.num_nodes["SNP"]
+    n_pad = cg.padded_nodes["SNP"]
+    rng = np.random.default_rng(7)
+    y_host = np.zeros(n_pad, np.float32)
+    w_host = np.zeros(n_pad, np.float32)
+    y_host[:n_snp] = rng.standard_normal(n_snp)
+    w_host[:n_snp] = rng.uniform(0.5, 2.0, n_snp)
+    nodes = node_vector_sharding(mesh)
+    y_node = jax.make_array_from_callback(y_host.shape, nodes,
+                                          lambda i: y_host[i])
+    w_node = jax.make_array_from_callback(w_host.shape, nodes,
+                                          lambda i: w_host[i])
+    bidx_host = np.arange(n_snp, dtype=np.int32)
+    batch_idx = jax.make_array_from_callback(bidx_host.shape, rep,
+                                             lambda i: bidx_host[i])
+
+    optimizer = build_optimizer(1e-3, 5e-4)
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(cfg, meta, optimizer, mesh, arrays)
+
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(
+            params, opt_state, arrays, batch_idx, y_node, w_node)
+        losses.append(float(loss))  # replicated scalar: same on every host
+
+    if process_index == 0:
+        with open(outfile, "w") as f:
+            json.dump({"losses": losses, "device_count": jax.device_count(),
+                       "process_count": process_count}, f)
+    # all processes must reach shutdown together
+    jax.distributed.shutdown()
+    print(f"[multihost_worker {pid}] ok losses={losses}")
+
+
+if __name__ == "__main__":
+    main()
