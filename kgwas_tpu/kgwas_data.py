@@ -114,7 +114,9 @@ class KGWAS_Data:
     def _download_with_progress(self, url, file_path):
         request = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
         response = urllib.request.urlopen(request)
-        total = int(response.getheader("Content-Length", "0").strip() or 0)
+        # response.headers works for both http(s) and file:// handlers
+        # (file:// responses don't implement getheader)
+        total = int(str(response.headers.get("Content-Length", "0")).strip() or 0)
         block = 1024 * 64
         done = 0
         with open(file_path, "wb") as f:
@@ -131,7 +133,8 @@ class KGWAS_Data:
         tar_path = os.path.join(self.data_path, f"{file_name}.tar.gz")
         self._download_with_progress(url, tar_path)
         with tarfile.open(tar_path, "r:gz") as tar:
-            tar.extractall(self.data_path)
+            # 'data' filter: reject absolute paths/links escaping data_path
+            tar.extractall(self.data_path, filter="data")
         os.remove(tar_path)
         extracted = os.path.join(self.data_path, file_name)
         if os.path.exists(extracted):

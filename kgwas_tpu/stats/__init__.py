@@ -5,3 +5,4 @@ from .calibration import (
     storey_tibshirani_integrate,
     storey_ribshirani_integrate,
 )
+from .gwas_eval import plot_cluster_range

@@ -357,3 +357,47 @@ def quantile_normalize(df_input: pd.DataFrame) -> pd.DataFrame:
         t = np.searchsorted(np.sort(df[col]), df[col])
         df[col] = [rank[i] for i in t]
     return df
+
+
+def plot_cluster_range(chr_num, gnn_cluster_chr_range, cluster_chr_range,
+                       gold_cluster_chr_range, findor_cluster_chr_range,
+                       x_start=None, x_end=None, base_gwas_name="FastGWA",
+                       gold_ref_name="GWAS Catalog", show=True, save_path=None):
+    """Per-chromosome locus-range comparison plot across methods (reference
+    eval_utils.py:259-293): each discovered cluster is a horizontal segment
+    on its method's row. Mirrors the reference's quirk of inserting empty
+    dict entries for missing chromosomes into the CALLER's dicts.
+
+    show/save_path are additions for headless use (the reference only calls
+    plt.show()). Returns the matplotlib Figure."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(14, 3))
+    ax = fig.add_subplot(111)
+
+    for d in (cluster_chr_range, gnn_cluster_chr_range,
+              gold_cluster_chr_range, findor_cluster_chr_range):
+        if chr_num not in d:
+            d[chr_num] = {}
+
+    for i in findor_cluster_chr_range[chr_num]:
+        ax.plot(i, ["FINDOR", "FINDOR"], "*-")
+    for i in gnn_cluster_chr_range[chr_num]:
+        ax.plot(i, ["GNN", "GNN"], "s-")
+    for i in cluster_chr_range[chr_num]:
+        ax.plot(i, [base_gwas_name, base_gwas_name], "^-")
+    for i in gold_cluster_chr_range[chr_num]:
+        ax.plot(i, [gold_ref_name, gold_ref_name], "o-")
+
+    ax.set_xlabel("Position Index at Chromosome " + str(chr_num))
+    if x_start is not None:
+        ax.set_xlim([x_start, x_end])
+    if save_path is not None:
+        fig.savefig(save_path, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig

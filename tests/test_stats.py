@@ -154,3 +154,28 @@ def test_find_closest_x_empty_calibration_band():
         "P_weighted": [0.4, 0.8, 1e-9, 0.3],
     })
     assert find_closest_x(df) == 1.0
+
+
+def test_plot_cluster_range_renders_headless(tmp_path):
+    """plot_cluster_range (reference eval_utils.py:259-293): renders all four
+    method rows headless, inserts empty entries for missing chromosomes into
+    the caller's dicts (reference quirk), and respects x limits."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from kgwas_tpu.stats import plot_cluster_range
+
+    gnn = {1: [(100, 200), (500, 900)]}
+    base = {1: [(120, 220)]}
+    gold = {1: [(130, 210)]}
+    findor = {}
+    out = tmp_path / "clusters.png"
+    fig = plot_cluster_range(1, gnn, base, gold, findor, x_start=0,
+                             x_end=1000, show=False, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+    assert findor == {1: {}}  # reference quirk: caller dict mutated
+    ax = fig.axes[0]
+    assert ax.get_xlim() == (0.0, 1000.0)
+    labels = {t.get_text() for t in ax.get_yticklabels()}
+    assert {"GNN", "FastGWA", "GWAS Catalog"} <= labels
+    import matplotlib.pyplot as plt
+    plt.close(fig)
