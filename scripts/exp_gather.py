@@ -1,0 +1,160 @@
+"""Row-gather strategy microbenchmark on the real TPU (round-2 perf item 1).
+
+Round-1 measurement: every training path is gather-bound — XLA's [E,128] row
+gather sustains ~145 GB/s of the v5e's 819 GB/s HBM (benchmarks/RESULTS.md,
+ROADMAP.md). This experiment measures the candidate replacements:
+
+  1. xla_random      jnp.take, uniform random indices (the status quo)
+  2. xla_sorted      jnp.take, ascending indices (does locality help XLA?)
+  3. pallas_vmem     Pallas kernel, full table resident in VMEM, per-tile
+                     jnp.take from the VMEM ref (does Mosaic lower a
+                     dynamic in-VMEM gather at all? how fast?)
+  4. pallas_onehot   Pallas kernel, gather-as-matmul within a src window
+                     (banded indices) — MXU cost model check
+  5. bf16 variants   row payload halved
+
+Timing: slope method (two chained-iteration counts, one host sync each) —
+the only trustworthy timing through the axon relay (see
+benchmarks/RESULTS.md round 1).
+
+Run: python scripts/exp_gather.py [--quick]
+"""
+import argparse
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+E = 3_407_872          # edges (bench-scale; multiple of 2048)
+D = 128
+
+
+def slope_time(fn, n1=3, n2=13):
+    """Per-iteration seconds via slope timing; fn(k) runs k chained iters."""
+    fn(2)  # warmup/compile
+    t0 = time.perf_counter(); fn(n1); t1 = time.perf_counter()
+    fn(n2); t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+
+
+def report(name, secs, e=E, d=D, dtype_bytes=4):
+    gb = e * d * dtype_bytes / 1e9
+    print(f"{name:24s} {secs*1e3:8.2f} ms  {gb/secs:7.1f} GB/s(out)  "
+          f"{secs/e*1e9:6.2f} ns/row", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# 1/2: XLA take
+# ---------------------------------------------------------------------------
+
+def bench_xla(x, idx, name):
+    @jax.jit
+    def step(acc, idx):
+        out = jnp.take(x, idx, axis=0)
+        return acc + out[::4096].sum(), idx
+
+    def run(k):
+        acc = jnp.zeros(())
+        for _ in range(k):
+            acc, idx2 = step(acc, idx)
+        float(acc)
+
+    report(name, slope_time(run), dtype_bytes=x.dtype.itemsize)
+
+
+# ---------------------------------------------------------------------------
+# 3: Pallas in-VMEM take
+# ---------------------------------------------------------------------------
+
+def make_vmem_take(n_rows, e, d, be, dtype, mode="take"):
+    def kernel(tab_ref, idx_ref, out_ref):
+        idx = idx_ref[...]            # [BE] int32 in VMEM
+        tab = tab_ref[...]            # [n_rows, d] resident in VMEM
+        if mode == "take":
+            out_ref[...] = jnp.take(tab, idx, axis=0)
+        else:  # onehot within full table (only for small tables)
+            oh = (idx[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (be, n_rows), 1)).astype(dtype)
+            out_ref[...] = jnp.dot(oh, tab,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dtype)
+
+    grid = (e // be,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_rows, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((be,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((be, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, d), dtype),
+    )
+
+
+def bench_pallas_vmem(n_rows, dtype, mode, name, e=E, be=2048):
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n_rows, D)), dtype=dtype)
+    idx = jnp.asarray(
+        np.random.default_rng(1).integers(0, n_rows, e), dtype=jnp.int32)
+    try:
+        f = make_vmem_take(n_rows, e, D, be, dtype, mode)
+        fj = jax.jit(lambda idx: f(x, idx))
+
+        @jax.jit
+        def step(acc, idx):
+            return acc + fj(idx)[::4096].sum(), idx
+
+        def run(k):
+            acc = jnp.zeros((), dtype=jnp.float32)
+            for _ in range(k):
+                acc, _ = step(acc, idx)
+            float(acc)
+
+        report(name, slope_time(run), e=e, dtype_bytes=x.dtype.itemsize)
+    except Exception as ex:
+        print(f"{name:24s} FAILED: {type(ex).__name__}: {str(ex)[:300]}",
+              flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+
+    for n_rows in (16_384, 204_800):
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.standard_normal((n_rows, D)), dtype=dt)
+            idx_r = jnp.asarray(rng.integers(0, n_rows, E), dtype=jnp.int32)
+            idx_s = jnp.sort(idx_r)
+            tag = f"N={n_rows//1024}k/{np.dtype(dt).name}"
+            bench_xla(x, idx_r, f"xla_random {tag}")
+            bench_xla(x, idx_s, f"xla_sorted {tag}")
+
+    # Pallas in-VMEM take: table 16k rows = 8 MiB (f32). THE experiment.
+    bench_pallas_vmem(16_384, jnp.float32, "take", "pallas_vmem_take 16k/f32")
+    bench_pallas_vmem(16_384, jnp.bfloat16, "take", "pallas_vmem_take 16k/bf16")
+    if not args.quick:
+        # near-VMEM-limit table (bf16 80 MiB)
+        bench_pallas_vmem(163_840, jnp.bfloat16, "take",
+                          "pallas_vmem_take 160k/bf16")
+        bench_pallas_vmem(65_536, jnp.float32, "take",
+                          "pallas_vmem_take 64k/f32")
+        # gather-as-matmul cost check (small window)
+        bench_pallas_vmem(2_048, jnp.float32, "onehot",
+                          "pallas_onehot 2k/f32", e=E // 4)
+
+
+if __name__ == "__main__":
+    main()
