@@ -206,8 +206,6 @@ def _merged_path_active(cfg: ModelConfig, meta: dict, raw_attention,
         reasons.append(f"backbone={cfg.gnn_backbone} (need GAT)")
     if cfg.gnn_aggr != "sum":
         reasons.append(f"aggr={cfg.gnn_aggr} (need sum)")
-    if cfg.gat_num_head != 1:
-        reasons.append(f"heads={cfg.gat_num_head} (need 1)")
     if cfg.sigmoid_gat:
         reasons.append("sigmoid_gat")
     if raw_attention:
@@ -259,44 +257,61 @@ def apply_merged_gat_layer(
 
     interpret = _jax.default_backend() != "tpu"
     d = cfg.gnn_hidden_dim
+    H = cfg.gat_num_head
     out_dict = {}
     for dst_t, L in meta["merged"].items():
-        xs_parts, att_rows, adst_parts = [], [], []
+        # multi-head runs one fused-layer kernel per head over the same
+        # merged layout (heads are independent softmaxes; PyG concats them,
+        # reference conv.py:122-131). Per-head slices of lin_src keep each
+        # kernel at D == gnn_hidden_dim.
+        head_outs = []
         bias_sum = None
-        for slot, rk in enumerate(L.rel_keys):
-            rp = layer_params[rk]
-            src_t = L.src_types[slot]
-            xs_parts.append(h[src_t] @ rp["lin_src"]["w"])
-            att_rows.append(rp["att_src"].reshape(-1))
-            # a_dst = (h @ W_dst) . att_dst == h @ (W_dst @ att_dst):
-            # collapses the full dst projection into a matvec
-            wd = rp["lin_dst"]["w"] if "lin_dst" in rp else rp["lin_src"]["w"]
-            v = wd @ rp["att_dst"].reshape(-1)
-            adst_parts.append(h[dst_t] @ v)
-            b = rp["bias"]
-            bias_sum = b if bias_sum is None else bias_sum + b
-        xs_all = jnp.concatenate(xs_parts, axis=0)
-        att = jnp.stack(att_rows, axis=0)
-        a_dst_all = jnp.concatenate(adst_parts, axis=0)
-        # message stream stays in the compute dtype (bf16 halves edge DMA
-        # and doubles the MXU accumulation rate); per-row attention scalars
-        # and softmax state are always float32
-        out_dtype = xs_all.dtype
-        if merged_kernel_fns is not None:
-            out_all = merged_kernel_fns[dst_t](
-                xs_all, att.astype(jnp.float32), a_dst_all.astype(jnp.float32)
+        out_dtype = None
+        for hh in range(H):
+            xs_parts, att_rows, adst_parts = [], [], []
+            for slot, rk in enumerate(L.rel_keys):
+                rp = layer_params[rk]
+                src_t = L.src_types[slot]
+                w = rp["lin_src"]["w"][:, hh * d:(hh + 1) * d]
+                xs_parts.append(h[src_t] @ w)
+                att_rows.append(rp["att_src"][hh])
+                # a_dst = (h @ W_dst) . att_dst == h @ (W_dst @ att_dst):
+                # collapses the full dst projection into a matvec
+                wd = rp["lin_dst"]["w"] if "lin_dst" in rp else rp["lin_src"]["w"]
+                v = wd[:, hh * d:(hh + 1) * d] @ rp["att_dst"][hh]
+                adst_parts.append(h[dst_t] @ v)
+                if hh == 0:
+                    b = rp["bias"]
+                    bias_sum = b if bias_sum is None else bias_sum + b
+            xs_all = jnp.concatenate(xs_parts, axis=0)
+            att = jnp.stack(att_rows, axis=0)
+            a_dst_all = jnp.concatenate(adst_parts, axis=0)
+            # message stream stays in the compute dtype (bf16 halves edge DMA
+            # and doubles the MXU accumulation rate); per-row attention
+            # scalars and softmax state are always float32
+            out_dtype = xs_all.dtype
+            if merged_kernel_fns is not None:
+                out_all = merged_kernel_fns[dst_t](
+                    xs_all, att.astype(jnp.float32),
+                    a_dst_all.astype(jnp.float32),
+                )
+            else:
+                msgs = gather_rows_csc(
+                    xs_all, jnp.asarray(L.src), L.csc_perm,
+                    L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
+                )
+                out_all = fused_gat_layer(
+                    msgs, att.astype(jnp.float32),
+                    a_dst_all.astype(jnp.float32),
+                    L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
+                    cfg.negative_slope, cfg.temperature, interpret,
+                )
+            head_outs.append(
+                out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d)
+                .sum(axis=0)
             )
-        else:
-            msgs = gather_rows_csc(
-                xs_all, jnp.asarray(L.src), L.csc_perm,
-                L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
-            )
-            out_all = fused_gat_layer(
-                msgs, att.astype(jnp.float32), a_dst_all.astype(jnp.float32),
-                L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
-                cfg.negative_slope, cfg.temperature, interpret,
-            )
-        out = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d).sum(axis=0)
+        out = (head_outs[0] if H == 1
+               else jnp.concatenate(head_outs, axis=-1))
         out_dict[dst_t] = out.astype(out_dtype) + bias_sum
     return out_dict
 

@@ -27,7 +27,7 @@ from kgwas_tpu import KGWAS, KGWAS_Data
 
 def run_mode(compute_dtype, tmp, seed=7):
     data = KGWAS_Data.from_synthetic(
-        n_snp=2000, n_gene=300, n_go=80, seed=seed,
+        n_snp=4000, n_gene=400, n_go=80, seed=seed,
         data_path=os.path.join(tmp, compute_dtype))
     data.load_synthetic_gwas(seed=seed)
     data.process_gwas_file()
@@ -37,7 +37,7 @@ def run_mode(compute_dtype, tmp, seed=7):
                          compute_dtype=compute_dtype,
                          matmul_precision="default"
                          if compute_dtype == "bfloat16" else "highest")
-    res = run.train(batch_size=256, epoch=8, lr=1e-3)
+    res = run.train(batch_size=512, epoch=30, lr=3e-3)
     return res, run
 
 
@@ -48,6 +48,7 @@ def main():
 
     merged = res32[["ID", "KGWAS_P"]].merge(
         res16[["ID", "KGWAS_P"]], on="ID", suffixes=("_32", "_16"))
+    merged = merged.astype({"KGWAS_P_32": float, "KGWAS_P_16": float})
     rho = spearmanr(merged.KGWAS_P_32, merged.KGWAS_P_16).statistic
 
     k = 50
@@ -56,6 +57,7 @@ def main():
     overlap = len(top32 & top16) / k
 
     vp32 = run32.train_history[-1]["val_pearsonr"]
+    assert not (np.isnan(vp32) or np.isnan(run16.train_history[-1]["val_pearsonr"])), "degenerate run: constant predictions"
     vp16 = run16.train_history[-1]["val_pearsonr"]
 
     print(f"spearman(KGWAS_P): {rho:.4f}")

@@ -246,25 +246,6 @@ def test_train_with_mesh_matches_single_device(tmp_path):
     )
 
 
-def test_train_mesh_streamed_conflict(tmp_path):
-    """mesh + stream_features is an explicit error (TP 'model' axis is the
-    supported route for giant features under a mesh)."""
-    import pytest
-
-    from kgwas_tpu import KGWAS, KGWAS_Data
-
-    data = KGWAS_Data.from_synthetic(
-        n_snp=150, n_gene=40, n_go=15, seed=19, data_path=str(tmp_path)
-    )
-    data.load_synthetic_gwas(seed=19)
-    data.process_gwas_file()
-    data.prepare_split()
-    run = KGWAS(data, exp_name="conflict", seed=19)
-    run.initialize_model(gnn_hidden_dim=16, stream_features=["Gene"])
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        run.train(batch_size=64, epoch=1, mesh=8, save_best_model=False)
-
-
 def test_resolve_mesh_forms(tmp_path):
     """KGWAS._resolve_mesh accepts None/int/dict/Mesh and rejects garbage."""
     import jax

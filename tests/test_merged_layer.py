@@ -175,6 +175,40 @@ def test_full_model_merged_matches_xla():
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_full_model_merged_multihead_matches_xla():
+    """H>1: one fused kernel per head + concat must match the XLA path
+    (forward and grads), including the deeper-layer H*h input widths."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=43)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2)
+    cfg_m = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2,
+                        use_pallas=True, pallas_mode="merged")
+    params = init_hetero_gnn(jax.random.PRNGKey(6), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+
+    out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
+    out_m = np.asarray(apply_hetero_gnn(params, cfg_m, meta, arrays))
+    np.testing.assert_allclose(out_m[:n_real], out_x[:n_real],
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gm = jax.grad(lambda p: loss(p, cfg_m))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
 def test_merged_path_is_active_with_engine_defaults():
     """Guard against silent fallback: with use_pallas and the data layer's
     default compile, the merged path must actually engage."""
