@@ -74,9 +74,9 @@ def make_window_gather(n_rows, e_pad, d, be, w, dtype):
         pltpu.make_async_copy(
             x_ref.at[pl.ds(ws, w), :], xwin.at[0], sems.at[0]
         ).start()
-        ids = ids_ref[...].reshape(1, be)              # [1, BE] in VMEM
+        ids = ids_ref[...]                              # [BE] int32 in VMEM
         loc = ids - ws                                  # in [0, w)
-        onehot = (loc[0][:, None] == jax.lax.broadcasted_iota(
+        onehot = (loc[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (be, w), 1)).astype(dtype)
         pltpu.make_async_copy(
             x_ref.at[pl.ds(ws, w), :], xwin.at[0], sems.at[0]
@@ -90,7 +90,7 @@ def make_window_gather(n_rows, e_pad, d, be, w, dtype):
         grid=(e_pad // be,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, be), lambda c, ws: (c, 0),
+            pl.BlockSpec((be,), lambda c, ws: (c,),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((be, d), lambda c, ws: (c, 0),
@@ -123,7 +123,7 @@ def bench_window_gather(xs_all, csc_ids, name, be=512, dtype=jnp.float32):
         return
     starts = np.minimum(starts, n_rows - w).astype(np.int32)
     x = xs_all.astype(dtype)
-    ids_2d = jnp.asarray(ids_p.reshape(-1, be), jnp.int32)
+    ids_2d = jnp.asarray(ids_p, jnp.int32)
     ws = jnp.asarray(starts)
     f = make_window_gather(n_rows, e_pad, x.shape[1], be, w, dtype)
     fj = jax.jit(lambda x_, ids_, ws_: f(ws_, x_, ids_))
@@ -192,21 +192,19 @@ def main():
             return acc + o[::4096].sum()
         report("csc_segsum", slope(chain(segsum_step)), e)
 
-        layer_f = jax.jit(functools.partial(
-            fused_gat_layer, n_rows=L.n_rows_total,
-            negative_slope=0.2, temperature=1.0, interpret=False),
-            static_argnames=())
+        layer_f = jax.jit(lambda m, a, ad: fused_gat_layer(
+            m, a, ad, L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
+            0.2, 1.0, False))
 
         def fwd_kernel_step(acc):
-            o = layer_f(msgs, att, adst, L.dst, L.row_offsets, L.tile2rel)
+            o = layer_f(msgs, att, adst)
             return acc + o[::4096].sum()
         report("fwd_kernel", slope(chain(fwd_kernel_step)), e)
 
         gmask = jnp.asarray(
             rng.standard_normal((L.n_rows_total, d)).astype(np.float32))
-        grad_f = jax.jit(jax.grad(lambda m: jnp.vdot(
-            fused_gat_layer(m, att, adst, L.dst, L.row_offsets, L.tile2rel,
-                            L.n_rows_total, 0.2, 1.0, False), gmask)))
+        grad_f = jax.jit(jax.grad(
+            lambda m: jnp.vdot(layer_f(m, att, adst), gmask)))
 
         def bwd_kernel_step(acc):
             o = grad_f(msgs)

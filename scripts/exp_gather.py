@@ -125,10 +125,118 @@ def bench_pallas_vmem(n_rows, dtype, mode, name, e=E, be=2048):
               flush=True)
 
 
+# ---------------------------------------------------------------------------
+# 6: Pallas DMA-pipelined random gather (per-row async copies, NQ outstanding)
+# ---------------------------------------------------------------------------
+
+def make_dma_gather(e, d, be, nq, dtype, via_vmem=False):
+    """out[i] = x[ids[i]] via per-row DMAs with a rolling window of nq
+    outstanding copies. ids are a scalar-prefetch operand (SMEM), so e is
+    limited to ~250k rows (1 MB SMEM). Measures the DMA issue rate — the
+    viability question for replacing XLA's serial gather."""
+    def kernel(ids_ref, x_ref, out_ref, sems):
+        c = pl.program_id(0)
+        base = c * be
+
+        def get_copy(i):
+            row = ids_ref[base + i]
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(row, 1), :],
+                out_ref.at[pl.ds(base + i, 1), :],
+                sems.at[jax.lax.rem(i, nq)])
+
+        def body(i, _):
+            get_copy(i).start()
+
+            @pl.when(i >= nq)
+            def _():
+                get_copy(i - nq).wait()
+            return 0
+
+        jax.lax.fori_loop(0, be, body, 0)
+
+        def epi(q, _):
+            get_copy(be - nq + q).wait()
+            return 0
+
+        jax.lax.fori_loop(0, nq, epi, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e // be,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nq,))],
+    )
+    return pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=jax.ShapeDtypeStruct((e, d), dtype))
+
+
+def bench_dma_gather(n_rows, e, nq, dtype, name, be=2048):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n_rows, D)), dtype=dtype)
+    ids = rng.integers(0, n_rows, e).astype(np.int32)
+    idx = jnp.asarray(ids)
+    try:
+        f = make_dma_gather(e, D, be, nq, dtype)
+        fj = jax.jit(lambda i_, x_: f(i_, x_))
+        out = fj(idx, x)
+        np.testing.assert_allclose(np.asarray(out[:128]),
+                                   np.asarray(x)[ids[:128]], rtol=1e-6)
+
+        @jax.jit
+        def step(acc, idx):
+            return acc + fj(idx, x)[::4096].sum().astype(jnp.float32), idx
+
+        def run(k):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(k):
+                acc, _ = step(acc, idx)
+            float(acc)
+
+        report(name, slope_time(run), e=e, dtype_bytes=x.dtype.itemsize)
+    except Exception as ex:
+        print(f"{name:24s} FAILED: {type(ex).__name__}: {str(ex)[:300]}",
+              flush=True)
+
+
+def bench_scalar_take(n_rows, e, name):
+    """Gather of [E] scalars from an [N] vector — is the cost per-row-fixed
+    (index-rate-bound) or per-byte?"""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n_rows), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n_rows, e), jnp.int32)
+
+    @jax.jit
+    def step(acc, idx):
+        return acc + jnp.take(x, idx)[::4096].sum(), idx
+
+    def run(k):
+        acc = jnp.zeros(())
+        for _ in range(k):
+            acc, _ = step(acc, idx)
+        float(acc)
+
+    report(name, slope_time(run), e=e, d=1, dtype_bytes=4)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dma", action="store_true",
+                    help="only the DMA-pipelined gather + scalar-take runs")
     args = ap.parse_args()
+
+    if args.dma:
+        print("backend:", jax.default_backend(), jax.devices(), flush=True)
+        e = 245_760  # 120 chunks of 2048; ids fit SMEM (983 kB)
+        bench_scalar_take(456_704, E, "scalar_take N=456k")
+        bench_scalar_take(16_384, E, "scalar_take N=16k")
+        for nq in (4, 16, 64):
+            bench_dma_gather(456_704, e, nq, jnp.float32,
+                             f"dma_gather nq={nq} f32")
+        bench_dma_gather(456_704, e, 16, jnp.bfloat16, "dma_gather nq=16 bf16")
+        return
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     rng = np.random.default_rng(0)
