@@ -220,12 +220,41 @@ def bench_scalar_take(n_rows, e, name):
     report(name, slope_time(run), e=e, d=1, dtype_bytes=4)
 
 
+def bench_local_window(n_rows, e, span, name):
+    """take from a BIG table with ids confined to per-chunk windows of
+    `span` rows (chunk = 16k consecutive output rows). Distinguishes
+    table-size effects from index-locality effects."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n_rows, D)), jnp.float32)
+    chunk = 16_384
+    n_chunks = e // chunk
+    starts = rng.integers(0, n_rows - span, n_chunks)
+    ids = (starts[:, None] + rng.integers(0, span, (n_chunks, chunk))
+           ).astype(np.int32).ravel()
+    bench_xla(x, jnp.asarray(ids), name)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dma", action="store_true",
                     help="only the DMA-pipelined gather + scalar-take runs")
+    ap.add_argument("--curve", action="store_true",
+                    help="take ns/row vs table size and vs index locality")
     args = ap.parse_args()
+
+    if args.curve:
+        print("backend:", jax.default_backend(), jax.devices(), flush=True)
+        rng = np.random.default_rng(0)
+        for n_rows in (8_192, 16_384, 32_768, 65_536, 131_072, 262_144,
+                       458_752):
+            x = jnp.asarray(rng.standard_normal((n_rows, D)), jnp.float32)
+            idx = jnp.asarray(rng.integers(0, n_rows, E), jnp.int32)
+            bench_xla(x, idx, f"take_tab N={n_rows//1024}k")
+        for span in (2_048, 16_384, 65_536):
+            bench_local_window(458_752, E, span,
+                               f"take_loc N=448k span={span//1024}k")
+        return
 
     if args.dma:
         print("backend:", jax.default_backend(), jax.devices(), flush=True)
