@@ -234,6 +234,87 @@ def bench_local_window(n_rows, e, span, name):
     bench_xla(x, jnp.asarray(ids), name)
 
 
+def bench_chunked_take(n_rows, e, chunk_rows, name, separate_arrays=True,
+                       measure_concat=True):
+    """The v2-layout candidate: edges pre-sorted by src chunk; per-chunk
+    jnp.take from a <=32k-row table (the fast XLA emitter) producing
+    contiguous output slices; concat -> [E, D] in (chunk-major) edge order.
+
+    separate_arrays=False keeps the table as ONE array and slices it inside
+    jit — tests whether XLA's slice+gather fusion still picks the fast
+    emitter (if not, the layer must produce per-chunk projection outputs)."""
+    rng = np.random.default_rng(0)
+    n_chunks = (n_rows + chunk_rows - 1) // chunk_rows
+    ids = rng.integers(0, n_rows, e).astype(np.int32)
+    order = np.argsort(ids // chunk_rows, kind="stable")
+    ids_sorted = ids[order]
+    counts = np.bincount(ids // chunk_rows, minlength=n_chunks)
+    # per-chunk local index vectors, padded to a multiple of 8 rows
+    # (pad rows gather row 0 of the chunk — masked downstream in real use)
+    locals_, bounds = [], np.concatenate([[0], np.cumsum(counts)])
+    for c in range(n_chunks):
+        li = ids_sorted[bounds[c]:bounds[c + 1]] - c * chunk_rows
+        pad = (-len(li)) % 8
+        locals_.append(np.pad(li, (0, pad)).astype(np.int32))
+    x = rng.standard_normal((n_rows, D)).astype(np.float32)
+    if separate_arrays:
+        tabs = [jnp.asarray(x[c * chunk_rows:(c + 1) * chunk_rows])
+                for c in range(n_chunks)]
+    else:
+        xbig = jnp.asarray(x)
+    idx_dev = [jnp.asarray(li) for li in locals_]
+    e_eff = sum(len(li) for li in locals_)
+
+    @jax.jit
+    def step(acc, idxs):
+        if separate_arrays:
+            parts = [jnp.take(t, i, axis=0) for t, i in zip(tabs, idxs)]
+        else:
+            parts = [jnp.take(
+                jax.lax.slice_in_dim(xbig, c * chunk_rows,
+                                     min((c + 1) * chunk_rows, n_rows)),
+                i, axis=0) for c, i in enumerate(idxs)]
+        if measure_concat:
+            out = jnp.concatenate(parts, axis=0)
+            return acc + out[::4096].sum(), idxs
+        return acc + sum(p[::512].sum() for p in parts), idxs
+
+    def run(k):
+        acc = jnp.zeros(())
+        for _ in range(k):
+            acc, _ = step(acc, idx_dev)
+        float(acc)
+
+    report(name, slope_time(run), e=e_eff, dtype_bytes=4)
+
+
+def bench_take_flags(n_rows, e, name):
+    """lax.gather mode/unique/sorted flags on the big table — do any of
+    them flip XLA to the fast emitter?"""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n_rows, D)), jnp.float32)
+    ids = rng.integers(0, n_rows, e).astype(np.int32)
+    for tag, kw in [
+        ("inbounds", dict(mode="promise_in_bounds")),
+        ("uniq+sort", dict(mode="promise_in_bounds", unique_indices=True,
+                           indices_are_sorted=True)),
+    ]:
+        idx = jnp.asarray(np.sort(ids) if "sort" in tag else ids)
+
+        @jax.jit
+        def step(acc, idx):
+            out = x.at[idx].get(**kw)
+            return acc + out[::4096].sum(), idx
+
+        def run(k):
+            acc = jnp.zeros(())
+            for _ in range(k):
+                acc, _ = step(acc, idx)
+            float(acc)
+
+        report(f"{name} {tag}", slope_time(run), e=e, dtype_bytes=4)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -241,7 +322,26 @@ def main():
                     help="only the DMA-pipelined gather + scalar-take runs")
     ap.add_argument("--curve", action="store_true",
                     help="take ns/row vs table size and vs index locality")
+    ap.add_argument("--chunked", action="store_true",
+                    help="per-src-chunk take + concat (v2 layout candidate)")
     args = ap.parse_args()
+
+    if args.chunked:
+        print("backend:", jax.default_backend(), jax.devices(), flush=True)
+        N = 458_752
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+        bench_xla(x, idx, "baseline_take N=448k")
+        for cr in (16_384, 32_768):
+            bench_chunked_take(N, E, cr, f"chunked sep cr={cr//1024}k")
+            bench_chunked_take(N, E, cr, f"chunked sep nocat cr={cr//1024}k",
+                               measure_concat=False)
+            bench_chunked_take(N, E, cr, f"chunked slice cr={cr//1024}k",
+                               separate_arrays=False)
+        bench_take_flags(N, E, "flags N=448k")
+        bench_scalar_take(3_407_872, E, "scalar_perm E=3.4M")
+        return
 
     if args.curve:
         print("backend:", jax.default_backend(), jax.devices(), flush=True)

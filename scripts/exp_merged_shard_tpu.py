@@ -46,7 +46,15 @@ def main():
                       gnn_backbone="GAT", matmul_precision="highest",
                       use_pallas=True)
     meta = cg.meta()
-    params0 = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
+    params_host = jax.tree.map(
+        np.asarray,
+        init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128),
+    )
+
+    # train steps donate params/opt_state, so every phase needs fresh buffers
+    def fresh_params():
+        return jax.tree.map(jnp.asarray, params_host)
+
     optimizer = build_optimizer(1e-4, 5e-4)
 
     rng = np.random.default_rng(0)
@@ -58,7 +66,8 @@ def main():
     # --- single-device engine path
     arrays = jax.device_put(cg.arrays())
     step1 = make_train_step(cfg, meta, optimizer)
-    p, o = params0, optimizer.init(params0)
+    p = fresh_params()
+    o = optimizer.init(p)
     losses1 = []
     for _ in range(N_STEPS):
         p, o, loss = step1(p, o, arrays, jnp.asarray(bidx),
@@ -74,7 +83,8 @@ def main():
     y_d = jax.device_put(jnp.asarray(y), node_vector_sharding(mesh))
     w_d = jax.device_put(jnp.asarray(w), node_vector_sharding(mesh))
     b_d = jax.device_put(jnp.asarray(bidx), replicated(mesh))
-    p, o = params0, optimizer.init(params0)
+    p = fresh_params()
+    o = optimizer.init(p)
     losses2 = []
     for _ in range(N_STEPS):
         p, o, loss = step2(p, o, arrays_sh, b_d, y_d, w_d)
@@ -89,7 +99,8 @@ def main():
     # --- slope timing both paths
     def slope(stepf, args, n1=3, n2=10):
         def run(k):
-            pp, oo = params0, optimizer.init(params0)
+            pp = fresh_params()
+            oo = optimizer.init(pp)
             for _ in range(k):
                 pp, oo, loss = stepf(pp, oo, *args)
             float(loss)
