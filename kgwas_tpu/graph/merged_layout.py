@@ -54,6 +54,150 @@ class MergedDstLayout:
     edge_base: np.ndarray          # int32 [R + 1]
 
 
+@dataclass
+class ChunkedStreamLayout:
+    """Source-chunked reordering of a MergedDstLayout's edge stream.
+
+    XLA's TPU row-gather emitter is ~3.4 ns/row when the table operand is
+    <= 32k rows but ~11.5 ns/row above (scripts/exp_gather.py --curve) — and
+    the training step is gather-bound (benchmarks/RESULTS.md). This layout
+    reorders the merged edge stream to (src_chunk major, dst_tile minor) so
+    the [E, D] message gather decomposes into one fast `jnp.take` per
+    <=chunk_rows-row table chunk with CONTIGUOUS output (concat = stream).
+
+    The fused kernel consumes the reordered stream via per-tile window
+    descriptors: each 256-row dst tile's edges now live in up to n_chunks
+    contiguous fragments; windows of `be` edges cover the fragments
+    (LANE-aligned starts, deduped per tile so tile windows never overlap
+    each other), and the kernel's one-hot dst masking makes overreads into
+    neighboring fragments harmless. Within a tile the online softmax is
+    order-invariant, so fragment order needs no kernel math changes. The
+    backward write-merges per window with a dst-ownership column mask
+    (onehot^T @ 1), so no positional ownership metadata is needed.
+    """
+
+    n_chunks: int
+    src_bounds: np.ndarray     # int64 [n_chunks+1] concat-space row cuts
+                               # (relation-aligned: each chunk lies inside
+                               # exactly one relation slot's block)
+    order: np.ndarray          # int32 [E_tot]: new stream pos -> old pos
+    src: np.ndarray            # int32 [E_tot] concat-space src, new order
+    dst: np.ndarray            # int32 [E_tot] row ids, new order
+    chunk_edge_base: np.ndarray  # int64 [n_chunks+1] stream offsets per chunk
+    local_ids: List[np.ndarray]  # per chunk: src - src_bounds[c]
+    desc: np.ndarray           # int32 [ND] window start positions
+    desc_offsets: np.ndarray   # int32 [n_tiles+1] per-tile desc ranges
+    # CSC permutation over the new stream order (backward scatter path);
+    # csc_ids/csc_offsets are unchanged from the parent layout
+    csc_perm: np.ndarray       # int32 [E_tot] new-order positions, src-sorted
+    read_amp: float            # diagnostic: window rows / real stream rows
+
+
+def _chunk_bounds(L: MergedDstLayout, max_chunk_rows: int) -> np.ndarray:
+    """Relation-aligned chunk cuts: each slot's src block is split into
+    ceil(block / max_chunk_rows) near-even 256-aligned pieces, so every
+    chunk's table is a slice of ONE relation's projected features."""
+    bounds = [0]
+    for r in range(len(L.rel_keys)):
+        b0, b1 = int(L.src_base[r]), int(L.src_base[r + 1])
+        n = b1 - b0
+        k = max(1, -(-n // max_chunk_rows))
+        for j in range(1, k):
+            cut = b0 + ((n * j // k) // 256) * 256
+            if cut > bounds[-1]:
+                bounds.append(cut)
+        if b1 > bounds[-1]:
+            bounds.append(b1)
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def build_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384,
+                         be: int = None, lane: int = 128,
+                         tile_rows: int = None) -> ChunkedStreamLayout:
+    """Build the (src_chunk, dst_tile)-ordered stream for one merged layout.
+
+    Window invariant: every edge position is covered by EXACTLY ONE window
+    of its own tile. Windows of one tile are non-overlapping and increasing
+    (a window may overrun into foreign fragments — masked by dst in-kernel;
+    if the overrun covers a later fragment of the SAME tile, that fragment
+    emits no window of its own). Windows of different tiles may overlap.
+    """
+    if be is None:
+        from ..ops.pallas_segment import BE as be
+    if tile_rows is None:
+        from ..ops.pallas_segment import BN as tile_rows
+    bounds = _chunk_bounds(L, max_chunk_rows)
+    n_chunks = len(bounds) - 1
+    n_tiles = L.n_rows_total // tile_rows
+
+    chunk_of_src = (np.searchsorted(bounds, L.src, side="right") - 1
+                    ).astype(np.int64)
+    group = chunk_of_src * n_tiles + (L.dst.astype(np.int64) // tile_rows)
+    order = np.argsort(group, kind="stable")
+    src = L.src[order]
+    dst = L.dst[order]
+    counts = np.bincount(group[order], minlength=n_chunks * n_tiles)
+    go = np.zeros(n_chunks * n_tiles + 1, dtype=np.int64)
+    np.cumsum(counts, out=go[1:])
+    chunk_edge_base = go[::n_tiles].copy()
+    assert chunk_edge_base[-1] == len(src)
+
+    local_ids = [
+        (src[chunk_edge_base[c]:chunk_edge_base[c + 1]]
+         - bounds[c]).astype(np.int32)
+        for c in range(n_chunks)
+    ]
+    desc_parts = []
+    off = np.zeros(n_tiles + 1, dtype=np.int64)
+    for t in range(n_tiles):
+        covered = 0
+        wins = []
+        for c in range(n_chunks):
+            s = go[c * n_tiles + t]
+            e = go[c * n_tiles + t + 1]
+            if e <= s:
+                continue
+            w = max((s // lane) * lane, covered)
+            while w < e:
+                wins.append(w)
+                w += be
+            covered = max(covered, w)
+        desc_parts.append(np.asarray(wins, dtype=np.int64))
+        off[t + 1] = off[t] + len(wins)
+    desc = (np.concatenate(desc_parts) if desc_parts
+            else np.zeros(0, dtype=np.int64))
+
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(len(order))
+    csc_perm = inv_order[L.csc_perm].astype(np.int32)
+
+    e_tot = max(len(src), 1)
+    return ChunkedStreamLayout(
+        src_bounds=bounds,
+        n_chunks=n_chunks,
+        order=order.astype(np.int32),
+        src=src.astype(np.int32),
+        dst=dst.astype(np.int32),
+        chunk_edge_base=chunk_edge_base,
+        local_ids=local_ids,
+        desc=desc.astype(np.int32),
+        desc_offsets=off.astype(np.int32),
+        csc_perm=csc_perm,
+        read_amp=float(len(desc) * be) / e_tot,
+    )
+
+
+def get_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384
+                       ) -> ChunkedStreamLayout:
+    """Cached accessor: builds the chunked stream once per layout object."""
+    cached = getattr(L, "_chunked", None)
+    if cached is None or getattr(L, "_chunked_max_rows", None) != max_chunk_rows:
+        cached = build_chunked_stream(L, max_chunk_rows)
+        L._chunked = cached
+        L._chunked_max_rows = max_chunk_rows
+    return cached
+
+
 def build_merged_layouts(cg: CompiledGraph, tile_rows: int = None
                          ) -> Dict[str, MergedDstLayout]:
     """One MergedDstLayout per destination node type of the compiled graph.

@@ -74,12 +74,24 @@ class KGWAS:
             tpu_kwargs["use_pallas"] = True
         self.stream_features = list(stream_features or [])
 
+        # The persisted artifact config holds every MODEL-SEMANTIC field (a
+        # reload must rebuild the same function — dropping no_relu here once
+        # made reloaded models silently reapply the final ReLU). Execution
+        # strategy (use_pallas, compute_dtype, gather_chunk_rows, ...) is
+        # deliberately NOT persisted: it is a per-backend decision re-made at
+        # load time, so a TPU-trained checkpoint serves cleanly on CPU.
+        _SEMANTIC_KEYS = (
+            "negative_slope", "dropout", "sigmoid_gat", "temperature",
+            "out_channels", "edge_dim", "pheno_condition",
+        )
         self.config = {
             "gnn_num_layers": gnn_num_layers,
             "gnn_hidden_dim": gnn_hidden_dim,
             "gnn_backbone": gnn_backbone,
             "gnn_aggr": gnn_aggr,
             "gat_num_head": gat_num_head,
+            "no_relu": no_relu,
+            **{k: v for k, v in tpu_kwargs.items() if k in _SEMANTIC_KEYS},
         }
         self.model_cfg = ModelConfig(
             gnn_num_layers=gnn_num_layers,

@@ -250,16 +250,26 @@ def apply_merged_gat_layer(
     override — the multi-chip shard_map'd kernels
     (parallel/merged_shard.py) plug in here; default is the single-device
     gather + fused layer kernel."""
+    import numpy as _np
     import jax as _jax
 
-    from ..ops.pallas_gat_layer import fused_gat_layer
-    from ..ops.pallas_segment import gather_rows_csc
+    from ..graph.merged_layout import get_chunked_stream
+    from ..ops.pallas_gat_layer import fused_gat_layer, fused_gat_layer_chunked
+    from ..ops.pallas_segment import gather_rows_csc, gather_rows_chunked
 
     interpret = _jax.default_backend() != "tpu"
     d = cfg.gnn_hidden_dim
     H = cfg.gat_num_head
+    chunk_rows = (cfg.gather_chunk_rows if cfg.gather_chunk_rows is not None
+                  else 16384)
     out_dict = {}
     for dst_t, L in meta["merged"].items():
+        # src-chunked gather (graph/merged_layout.ChunkedStreamLayout) when
+        # the concat src table is in XLA's slow big-table gather regime;
+        # single-device only (the shard_map kernels keep the plain stream)
+        use_chunked = (merged_kernel_fns is None and chunk_rows > 0
+                       and L.n_src_total > 2 * chunk_rows)
+        cs = get_chunked_stream(L, chunk_rows) if use_chunked else None
         # multi-head runs one fused-layer kernel per head over the same
         # merged layout (heads are independent softmaxes; PyG concats them,
         # reference conv.py:122-131). Per-head slices of lin_src keep each
@@ -268,12 +278,9 @@ def apply_merged_gat_layer(
         bias_sum = None
         out_dtype = None
         for hh in range(H):
-            xs_parts, att_rows, adst_parts = [], [], []
+            att_rows, adst_parts = [], []
             for slot, rk in enumerate(L.rel_keys):
                 rp = layer_params[rk]
-                src_t = L.src_types[slot]
-                w = rp["lin_src"]["w"][:, hh * d:(hh + 1) * d]
-                xs_parts.append(h[src_t] @ w)
                 att_rows.append(rp["att_src"][hh])
                 # a_dst = (h @ W_dst) . att_dst == h @ (W_dst @ att_dst):
                 # collapses the full dst projection into a matvec
@@ -283,29 +290,63 @@ def apply_merged_gat_layer(
                 if hh == 0:
                     b = rp["bias"]
                     bias_sum = b if bias_sum is None else bias_sum + b
-            xs_all = jnp.concatenate(xs_parts, axis=0)
             att = jnp.stack(att_rows, axis=0)
             a_dst_all = jnp.concatenate(adst_parts, axis=0)
+
+            def _w_src(slot):
+                rp = layer_params[L.rel_keys[slot]]
+                return rp["lin_src"]["w"][:, hh * d:(hh + 1) * d]
+
             # message stream stays in the compute dtype (bf16 halves edge DMA
             # and doubles the MXU accumulation rate); per-row attention
             # scalars and softmax state are always float32
-            out_dtype = xs_all.dtype
-            if merged_kernel_fns is not None:
-                out_all = merged_kernel_fns[dst_t](
-                    xs_all, att.astype(jnp.float32),
-                    a_dst_all.astype(jnp.float32),
-                )
-            else:
-                msgs = gather_rows_csc(
-                    xs_all, jnp.asarray(L.src), L.csc_perm,
+            if cs is not None:
+                # per-chunk tables: each chunk is a slice of exactly one
+                # relation's src block, so its table is one small matmul
+                tabs = []
+                for c in range(cs.n_chunks):
+                    b0 = int(cs.src_bounds[c])
+                    b1 = int(cs.src_bounds[c + 1])
+                    slot = int(_np.searchsorted(
+                        _np.asarray(L.src_base), b0, side="right")) - 1
+                    base = int(L.src_base[slot])
+                    tabs.append(
+                        h[L.src_types[slot]][b0 - base:b1 - base]
+                        @ _w_src(slot)
+                    )
+                out_dtype = tabs[0].dtype
+                msgs = gather_rows_chunked(
+                    tuple(tabs), tuple(cs.local_ids), cs.csc_perm,
                     L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
                 )
-                out_all = fused_gat_layer(
+                out_all = fused_gat_layer_chunked(
                     msgs, att.astype(jnp.float32),
                     a_dst_all.astype(jnp.float32),
-                    L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
-                    cfg.negative_slope, cfg.temperature, interpret,
+                    cs.dst, cs.desc, cs.desc_offsets, L.tile2rel,
+                    L.n_rows_total, cfg.negative_slope, cfg.temperature,
+                    interpret,
                 )
+            else:
+                xs_all = jnp.concatenate(
+                    [h[L.src_types[s]] @ _w_src(s)
+                     for s in range(len(L.rel_keys))], axis=0)
+                out_dtype = xs_all.dtype
+                if merged_kernel_fns is not None:
+                    out_all = merged_kernel_fns[dst_t](
+                        xs_all, att.astype(jnp.float32),
+                        a_dst_all.astype(jnp.float32),
+                    )
+                else:
+                    msgs = gather_rows_csc(
+                        xs_all, jnp.asarray(L.src), L.csc_perm,
+                        L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
+                    )
+                    out_all = fused_gat_layer(
+                        msgs, att.astype(jnp.float32),
+                        a_dst_all.astype(jnp.float32),
+                        L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
+                        cfg.negative_slope, cfg.temperature, interpret,
+                    )
             head_outs.append(
                 out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d)
                 .sum(axis=0)

@@ -49,9 +49,8 @@ from .pallas_segment import (
 )
 
 
-def _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem, dst_ref, dst_vmem,
-               sems):
-    s = start_al + c * BE
+def _edge_dmas_at(s, slot, msgs_ref, msgs_vmem, dst_ref, dst_vmem, sems):
+    """DMAs for one BE-edge window at absolute LANE-aligned stream pos s."""
     r = s // LANE
     return [
         pltpu.make_async_copy(
@@ -61,6 +60,12 @@ def _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem, dst_ref, dst_vmem,
             dst_ref.at[pl.ds(r, BR), :], dst_vmem.at[slot], sems.at[slot, 1]
         ),
     ]
+
+
+def _edge_dmas(start_al, c, slot, msgs_ref, msgs_vmem, dst_ref, dst_vmem,
+               sems):
+    return _edge_dmas_at(start_al + c * BE, slot, msgs_ref, msgs_vmem,
+                         dst_ref, dst_vmem, sems)
 
 
 def _logits_row(msgs_block, att_ref, a_dst_row, onehot_t, negative_slope,
@@ -574,6 +579,456 @@ fused_gat_layer.defvjp(_fgl_fwd, _fgl_bwd)
 def _tile_starts_np(row_offsets_np):
     ro = np.asarray(row_offsets_np)
     return np.concatenate([ro[::BN], ro[-1:]])
+
+
+# ---------------------------------------------------------------------------
+# Chunked-stream variant (src-chunk-major edge order, window descriptors)
+#
+# Consumes the ChunkedStreamLayout of graph/merged_layout.py: the edge
+# stream is ordered (src_chunk major, dst_tile minor) so the [E, D] message
+# gather runs as per-chunk fast takes; each dst tile's edges live in up to
+# n_chunks fragments covered by BE-edge windows listed in `desc`
+# (per-tile ranges in `desc_offsets`). The online softmax per dst row is
+# order-invariant and the one-hot masks window overreads, so the math is
+# identical to the contiguous kernels — only chunk addressing and the
+# backward's write-merge change.
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel_chunked(negative_slope, temperature):
+    def kernel(
+        doff_ref,         # prefetch: per-tile desc ranges [n_tiles+1]
+        desc_ref,         # prefetch: window start positions [ND]
+        t2r_ref,          # prefetch: tile -> relation slot
+        msgs_ref,         # [E_pad, D] HBM
+        dst_ref,          # [E_pad/LANE, LANE] HBM
+        att_ref,          # [8, D] VMEM block
+        adst_ref,         # [8, BN] VMEM block
+        out_ref,          # [BN, D] VMEM block
+        max_ref,          # [8, BN]
+        sum_ref,          # [8, BN]
+        msgs_vmem,
+        dst_vmem,
+        sems,
+    ):
+        i = pl.program_id(0)
+        dlo = doff_ref[i]
+        nchunks = doff_ref[i + 1] - dlo
+        row_base = i * BN
+        a_dst_row = adst_ref[0:1, :]
+
+        def start_chunk(c, slot):
+            for dma in _edge_dmas_at(desc_ref[dlo + c], slot, msgs_ref,
+                                     msgs_vmem, dst_ref, dst_vmem, sems):
+                dma.start()
+
+        def wait_chunk(c, slot):
+            for dma in _edge_dmas_at(desc_ref[dlo + c], slot, msgs_ref,
+                                     msgs_vmem, dst_ref, dst_vmem, sems):
+                dma.wait()
+
+        @pl.when(nchunks > 0)
+        def _nonempty():
+            start_chunk(0, 0)
+
+            def body(c, carry):
+                acc, row_sum, m_old = carry
+                slot = jax.lax.rem(c, NBUF)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+                wait_chunk(c, slot)
+
+                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+                in_tile = onehot_t.any(axis=0, keepdims=True)
+                _, l_row = _logits_row(
+                    msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
+                    negative_slope, temperature,
+                )
+
+                m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
+                m_new = jnp.maximum(m_old, m_chunk)
+                scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
+                acc = acc * scale[:, None]
+                row_sum = row_sum * scale
+
+                m_e = jnp.max(jnp.where(onehot_t, m_new[:, None], NEG_BIG),
+                              axis=0, keepdims=True)
+                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
+                p_row = jnp.where(in_tile, p_row, 0.0)
+                w = onehot_t.astype(jnp.float32) * p_row
+                row_sum = row_sum + jnp.sum(w, axis=1)
+                acc = acc + jax.lax.dot_general(
+                    w.astype(msgs_vmem.dtype), msgs_vmem[slot],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return acc, row_sum, m_new
+
+            acc, row_sum, row_max = jax.lax.fori_loop(
+                0, nchunks, body,
+                (
+                    jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+                    jnp.zeros((BN,), dtype=jnp.float32),
+                    jnp.full((BN,), NEG_BIG, dtype=jnp.float32),
+                ),
+            )
+            out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+            max_ref[0:1, :] = row_max[None, :]
+            sum_ref[0:1, :] = row_sum[None, :]
+
+        @pl.when(nchunks <= 0)
+        def _empty():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+            max_ref[0:1, :] = jnp.full((1, BN), NEG_BIG, dtype=jnp.float32)
+            sum_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+)
+def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
+                            tile2rel, n_rows, negative_slope, temperature,
+                            interpret=False):
+    d = msgs.shape[1]
+    n_tiles = n_rows // BN
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    out, row_max, row_sum = pl.pallas_call(
+        _make_fwd_kernel_chunked(negative_slope, temperature),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+        ],
+        interpret=interpret,
+    )(desc_offsets, desc, tile2rel, msgs_p, dst_p, att8, adst_tiles)
+    return out, row_max, row_sum
+
+
+def _make_bwd_kernel_chunked(negative_slope, temperature):
+    def kernel(
+        doff_ref,
+        desc_ref,
+        t2r_ref,
+        msgs_ref,         # [E_pad, D] HBM
+        dst_ref,          # [E_pad/LANE, LANE] HBM
+        att_ref,          # [8, D] block
+        adst_ref,         # [8, BN] block
+        rmax_ref,         # [8, BN] block
+        rsum_ref,         # [8, BN] block
+        out_ref,          # [BN, D] block (primal out)
+        g_ref,            # [BN, D] block (cotangent)
+        dmsgs_ref,        # [E_pad, D] HBM out
+        dadst_ref,        # [8, BN] block out
+        datt_ref,         # [8, D] block out
+        msgs_vmem,
+        dst_vmem,
+        dmsgs_old,
+        dmsgs_out_vmem,   # [NBUF, BE, D]
+        sems,             # (NBUF, 3)
+        wsems,            # (NBUF,)
+    ):
+        i = pl.program_id(0)
+        dlo = doff_ref[i]
+        nchunks = doff_ref[i + 1] - dlo
+        row_base = i * BN
+        a_dst_row = adst_ref[0:1, :]
+        att_row = att_ref[0:1, :]
+
+        dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
+        row_max_v = rmax_ref[0, :]
+        inv_sum = 1.0 / (rsum_ref[0, :] + EPS)
+
+        def start_chunk(c, slot):
+            s = desc_ref[dlo + c]
+            for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
+                                     dst_ref, dst_vmem, sems):
+                dma.start()
+            # windows interleave foreign fragments: always read-merge
+            pltpu.make_async_copy(
+                dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                sems.at[slot, 2],
+            ).start()
+
+        def wait_chunk(c, slot):
+            s = desc_ref[dlo + c]
+            for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
+                                     dst_ref, dst_vmem, sems):
+                dma.wait()
+            pltpu.make_async_copy(
+                dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                sems.at[slot, 2],
+            ).wait()
+
+        def write_dma(c, slot):
+            s = desc_ref[dlo + c]
+            return pltpu.make_async_copy(
+                dmsgs_out_vmem.at[slot], dmsgs_ref.at[pl.ds(s, BE), :],
+                wsems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _nonempty():
+            start_chunk(0, 0)
+
+            def body(c, carry):
+                dadst_acc, datt_acc = carry
+                slot = jax.lax.rem(c, NBUF)
+
+                @pl.when(c + 1 < nchunks)
+                def _():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+                wait_chunk(c, slot)
+
+                @pl.when(c >= NBUF)
+                def _():
+                    write_dma(c - NBUF, slot).wait()
+
+                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+                ohf = onehot_t.astype(jnp.float32)
+                in_tile = onehot_t.any(axis=0, keepdims=True)
+                z, l_row = _logits_row(
+                    msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
+                    negative_slope, temperature,
+                )
+                m_e = jnp.max(
+                    jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
+                    axis=0, keepdims=True,
+                )
+                inv_e = jnp.max(
+                    jnp.where(onehot_t, inv_sum[:, None], 0.0), axis=0,
+                    keepdims=True,
+                )
+                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP)) * inv_e
+                p_row = jnp.where(in_tile, p_row, 0.0)
+                w = ohf * p_row                                  # [BN, BE]
+
+                m2 = jax.lax.dot_general(
+                    g_ref[:, :].astype(msgs_vmem.dtype), msgs_vmem[slot],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                # [BN, BE]
+                dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
+                                 keepdims=True)                  # [1, BE]
+                dz_row = dl_row * jnp.where(z >= 0, 1.0, negative_slope) \
+                    / temperature
+                dz_row = jnp.where(in_tile, dz_row, 0.0)
+
+                new_dmsgs = (jax.lax.dot_general(
+                    w, g_ref[:, :],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    dz_row, att_row,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )).astype(dmsgs_out_vmem.dtype)                  # [BE, D]
+
+                dadst_acc = dadst_acc + jnp.sum(ohf * dz_row, axis=1)
+                datt_acc = datt_acc + jax.lax.dot_general(
+                    dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                # [1, D]
+
+                # ownership column mask in [BE, 1] orientation: an edge in
+                # this window is owned iff its dst row lives in this tile
+                # (windows of one tile never overlap, so owned edges are
+                # written exactly once; foreign lanes keep the old value)
+                own_col = jax.lax.dot_general(
+                    ohf, jnp.ones((BN, 1), dtype=jnp.float32),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                # [BE, 1]
+                dmsgs_out_vmem[slot] = jnp.where(
+                    own_col > 0.0, new_dmsgs, dmsgs_old[slot]
+                )
+
+                write_dma(c, slot).start()
+                return dadst_acc, datt_acc
+
+            dadst_acc, datt_acc = jax.lax.fori_loop(
+                0, nchunks, body,
+                (
+                    jnp.zeros((BN,), dtype=jnp.float32),
+                    jnp.zeros((1, att_ref.shape[1]), dtype=jnp.float32),
+                ),
+            )
+            for tail in range(NBUF):
+                cc = nchunks - NBUF + tail
+
+                @pl.when(cc >= 0)
+                def _(cc=cc):
+                    write_dma(cc, jax.lax.rem(cc, NBUF)).wait()
+            dadst_ref[0:1, :] = dadst_acc[None, :]
+            datt_ref[0:1, :] = datt_acc
+
+        @pl.when(nchunks <= 0)
+        def _empty():
+            dadst_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+            datt_ref[0:1, :] = jnp.zeros(
+                (1, datt_ref.shape[1]), dtype=jnp.float32
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+)
+def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
+                             tile2rel, row_max, row_sum, out, g, n_rows,
+                             negative_slope, temperature, interpret=False):
+    d = msgs.shape[1]
+    n_tiles = n_rows // BN
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+    e_pad = msgs_p.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 3)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
+        _make_bwd_kernel_chunked(negative_slope, temperature),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
+            jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, d), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        desc_offsets, desc, tile2rel, msgs_p, dst_p, att8, adst_tiles,
+        row_max, row_sum, out, g,
+    )
+    e = msgs.shape[0]
+    return dmsgs[:e], dadst_tiles, datt_tiles
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+)
+def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
+                            desc_off_np, tile2rel_np, n_rows, negative_slope,
+                            temperature, interpret=False):
+    """fused_gat_layer over a chunked (src-chunk-major) edge stream.
+
+    msgs [E, D] in ChunkedStreamLayout order (the concat of per-chunk fast
+    takes); dst_np/desc_np/desc_off_np from graph/merged_layout.py
+    `build_chunked_stream`. Math identical to fused_gat_layer — only the
+    window addressing differs (see module comment above).
+    """
+    out, _, _ = _merged_forward_chunked(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
+        jnp.asarray(dst_np), jnp.asarray(desc_off_np),
+        jnp.asarray(_nonempty_desc(desc_np)), jnp.asarray(tile2rel_np),
+        n_rows, negative_slope, temperature, interpret,
+    )
+    return out
+
+
+def _nonempty_desc(desc_np):
+    d = np.asarray(desc_np)
+    return d if len(d) else np.zeros(1, dtype=np.int32)
+
+
+def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
+              tile2rel_np, n_rows, negative_slope, temperature, interpret):
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
+    out, row_max, row_sum = _merged_forward_chunked(
+        msgs, att8, adst_tiles, jnp.asarray(dst_np),
+        jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
+        jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
+        interpret,
+    )
+    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+
+
+def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
+              negative_slope, temperature, interpret, residuals, g):
+    msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
+    dmsgs, dadst_tiles, datt_tiles = _merged_backward_chunked(
+        msgs, att8, adst_tiles, jnp.asarray(dst_np),
+        jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
+        jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
+        negative_slope, temperature, interpret,
+    )
+    n_tiles = n_rows // BN
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
+    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
+    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    return dmsgs, d_att, d_a_dst
+
+
+fused_gat_layer_chunked.defvjp(_fglc_fwd, _fglc_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

@@ -720,6 +720,55 @@ def _grc_bwd(csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows, interpret,
 gather_rows_csc.defvjp(_grc_fwd, _grc_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def gather_rows_chunked(tabs, local_ids_np, csc_perm_np, csc_ids_np,
+                        csc_offsets_np, n_src_rows, interpret=False):
+    """Chunked fast-emitter gather: concat of per-chunk jnp.take calls.
+
+    tabs: tuple of [rows_c, D] arrays (relation-aligned slices of the
+    logical concat projected-feature space, graph/merged_layout.py
+    ChunkedStreamLayout); local_ids_np: per-chunk int32 index vectors.
+    Output rows land in the chunked stream order (chunk-major). XLA's
+    small-table gather emitter is ~2.6x faster per row than the big-table
+    one (scripts/exp_gather.py --chunked), which is what this buys.
+
+    Backward: permute the cotangent to CSC (src-sorted) order and run the
+    Pallas segment-sum over the concat src space, then split per chunk —
+    identical math to gather_rows_csc's backward.
+    """
+    parts = [jnp.take(t, jnp.asarray(ids), axis=0)
+             for t, ids in zip(tabs, local_ids_np)]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _grch_fwd(tabs, local_ids_np, csc_perm_np, csc_ids_np, csc_offsets_np,
+              n_src_rows, interpret):
+    out = gather_rows_chunked(tabs, local_ids_np, csc_perm_np, csc_ids_np,
+                              csc_offsets_np, n_src_rows, interpret)
+    return out, tuple(t.shape[0] for t in tabs)
+
+
+def _grch_bwd(local_ids_np, csc_perm_np, csc_ids_np, csc_offsets_np,
+              n_src_rows, interpret, res, g):
+    tab_rows = res
+    g_sorted = jnp.take(g, jnp.asarray(csc_perm_np), axis=0)
+    dx = pallas_segment_sum(
+        g_sorted,
+        jnp.asarray(csc_ids_np),
+        jnp.asarray(csc_offsets_np),
+        n_src_rows,
+        interpret,
+    )
+    outs, o = [], 0
+    for r in tab_rows:
+        outs.append(dx[o:o + r])
+        o += r
+    return (tuple(outs),)
+
+
+gather_rows_chunked.defvjp(_grch_fwd, _grch_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def gather_rows_csc_t(x, idx, csc_perm, csc_ids, csc_offsets, n_src_rows,
                       interpret=False):

@@ -1,0 +1,116 @@
+"""Src-chunked gather path (graph/merged_layout.ChunkedStreamLayout +
+ops/pallas_gat_layer.fused_gat_layer_chunked + gather_rows_chunked).
+
+The chunked stream reorders edges (src_chunk major, dst_tile minor) so the
+[E, D] message gather runs as per-chunk fast-emitter takes
+(scripts/exp_gather.py --chunked: 4.3 vs 11.3 ns/row on v5e). These tests
+pin (1) the layout's coverage invariants and (2) forward/gradient parity of
+the full model against the XLA composite path, in CPU interpret mode.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.graph.merged_layout import get_chunked_stream
+from kgwas_tpu.models import init_hetero_gnn
+from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+from kgwas_tpu.ops.pallas_segment import BE
+
+
+@pytest.fixture(scope="module")
+def world():
+    g = make_synthetic_kg(n_snp=900, n_gene=300, n_go=120, seed=11)
+    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=256)
+    return g, cg
+
+
+def test_layout_invariants(world):
+    _, cg = world
+    for dst_t, L in cg.merged_layouts().items():
+        cs = get_chunked_stream(L, max_chunk_rows=512)
+        # order is a permutation carrying src/dst
+        assert sorted(cs.order.tolist()) == list(range(len(L.src)))
+        assert np.array_equal(cs.src, L.src[cs.order])
+        assert np.array_equal(cs.dst, L.dst[cs.order])
+        # chunk boundaries are relation-aligned and local ids in range
+        for c in range(cs.n_chunks):
+            lo, hi = cs.chunk_edge_base[c], cs.chunk_edge_base[c + 1]
+            assert np.array_equal(
+                cs.local_ids[c] + cs.src_bounds[c], cs.src[lo:hi])
+            assert (cs.local_ids[c] >= 0).all()
+            assert (cs.local_ids[c]
+                    < cs.src_bounds[c + 1] - cs.src_bounds[c]).all()
+            r = np.searchsorted(np.asarray(L.src_base), cs.src_bounds[c],
+                                side="right") - 1
+            assert L.src_base[r] <= cs.src_bounds[c]
+            assert cs.src_bounds[c + 1] <= L.src_base[r + 1]
+        # every edge covered EXACTLY ONCE by its own tile's windows
+        cover = np.zeros(len(cs.src), dtype=int)
+        tile_of = cs.dst // 256
+        for t in range(L.n_rows_total // 256):
+            for k in range(cs.desc_offsets[t], cs.desc_offsets[t + 1]):
+                s0 = cs.desc[k]
+                sl = slice(s0, min(s0 + BE, len(cs.src)))
+                cover[sl] += tile_of[sl] == t
+        assert (cover == 1).all(), dst_t
+        # windows of one tile never overlap and are LANE-aligned
+        for t in range(L.n_rows_total // 256):
+            ws = cs.desc[cs.desc_offsets[t]:cs.desc_offsets[t + 1]]
+            assert (np.diff(ws) >= BE).all()
+            assert (ws % 128 == 0).all()
+        # CSC perm over the new order stays src-sorted
+        assert np.array_equal(cs.src[cs.csc_perm], L.csc_ids)
+
+
+def test_full_model_chunked_matches_xla(world):
+    _, cg = world
+    meta = cg.meta()
+    n_real = cg.num_nodes["SNP"]
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2)
+    cfg_c = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        use_pallas=True, gather_chunk_rows=512)
+    params = init_hetero_gnn(jax.random.PRNGKey(0), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
+    out_c = np.asarray(apply_hetero_gnn(params, cfg_c, meta, arrays))
+    np.testing.assert_allclose(out_c[:n_real], out_x[:n_real],
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gc = jax.grad(lambda p: loss(p, cfg_c))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_full_model_chunked_multihead(world):
+    _, cg = world
+    meta = cg.meta()
+    n_real = cg.num_nodes["SNP"]
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2)
+    cfg_c = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2,
+                        use_pallas=True, gather_chunk_rows=512)
+    params = init_hetero_gnn(jax.random.PRNGKey(1), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
+    out_c = np.asarray(apply_hetero_gnn(params, cfg_c, meta, arrays))
+    np.testing.assert_allclose(out_c[:n_real], out_x[:n_real],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunk_gate_small_graph_stays_unchunked(world):
+    """Default gate: graphs whose concat src space fits the fast emitter
+    keep the plain merged stream (no chunking work)."""
+    _, cg = world
+    for L in cg.merged_layouts().values():
+        # gate in models/hetero_gnn.py: n_src_total > 2 * chunk_rows
+        assert L.n_src_total <= 2 * 16384
