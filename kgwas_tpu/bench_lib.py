@@ -46,6 +46,9 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # src-chunked gather rows: unset -> ModelConfig default; 0 disables
+    gather_chunk = os.environ.get("BENCH_GATHER_CHUNK")
+    gather_chunk = None if gather_chunk is None else int(gather_chunk)
 
     g = make_synthetic_kg(
         n_snp=n_snp,
@@ -65,6 +68,7 @@ def main():
         compute_dtype=dtype,
         matmul_precision="default" if dtype == "bfloat16" else "highest",
         use_pallas=use_pallas,
+        gather_chunk_rows=gather_chunk,
     )
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)

@@ -51,10 +51,11 @@ class ModelConfig:
                                      # kernel per relation
     gather_chunk_rows: Optional[int] = None  # src-chunked message gather:
                                      # max table rows per chunk (None ->
-                                     # 16384; 0 disables). Applies to merged
-                                     # layouts whose concat src space is in
-                                     # XLA's slow big-table gather regime
-                                     # (>32k rows); see
+                                     # EMITTER_FAST_ROWS = 131072; 0
+                                     # disables). Applies to merged layouts
+                                     # whose concat src space is in XLA's
+                                     # slow big-table gather regime
+                                     # (> 131072 rows); see
                                      # graph/merged_layout.ChunkedStreamLayout
 
     def to_dict(self):

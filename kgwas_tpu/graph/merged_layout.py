@@ -90,30 +90,58 @@ class ChunkedStreamLayout:
     # CSC permutation over the new stream order (backward scatter path);
     # csc_ids/csc_offsets are unchanged from the parent layout
     csc_perm: np.ndarray       # int32 [E_tot] new-order positions, src-sorted
+    # Block-diagonal split of csc_perm: because the stream is chunk-major
+    # over CONTIGUOUS src ranges, CSC (globally src-sorted) positions for
+    # chunk c are exactly [chunk_edge_base[c], chunk_edge_base[c+1]) and
+    # point only into that chunk's stream block — so the backward's [E, D]
+    # cotangent permute decomposes into per-chunk small-table takes on the
+    # fast emitter, same trick as the forward.
+    local_perm: List[np.ndarray]  # per chunk: csc_perm slice - edge base
     read_amp: float            # diagnostic: window rows / real stream rows
 
 
-def _chunk_bounds(L: MergedDstLayout, max_chunk_rows: int) -> np.ndarray:
-    """Relation-aligned chunk cuts: each slot's src block is split into
-    ceil(block / max_chunk_rows) near-even 256-aligned pieces, so every
+# Largest table the fast XLA gather emitter handles: measured ~3.7 ns/row
+# up to 131072 rows, ~11.4 ns/row from 262144 (scripts/exp_emitter_probe.py,
+# v5e). Chunk EDGE counts are capped by the same number so the backward's
+# per-chunk cotangent tables (see local_perm) also ride the fast emitter.
+EMITTER_FAST_ROWS = 131072
+
+
+def _chunk_bounds(L: MergedDstLayout, max_chunk_rows: int,
+                  max_chunk_edges: int = EMITTER_FAST_ROWS) -> np.ndarray:
+    """Relation-aligned chunk cuts: each relation slot's src block is split
+    greedily into 256-aligned pieces of <= max_chunk_rows src rows AND
+    <= max_chunk_edges edges (both caps keep the forward table takes and
+    the backward per-chunk perm takes on the fast gather emitter), so every
     chunk's table is a slice of ONE relation's projected features."""
+    csc_off = np.asarray(L.csc_offsets, dtype=np.int64)
     bounds = [0]
     for r in range(len(L.rel_keys)):
         b0, b1 = int(L.src_base[r]), int(L.src_base[r + 1])
-        n = b1 - b0
-        k = max(1, -(-n // max_chunk_rows))
-        for j in range(1, k):
-            cut = b0 + ((n * j // k) // 256) * 256
-            if cut > bounds[-1]:
-                bounds.append(cut)
+        start = b0
+        while start < b1:
+            nxt = min(start + max_chunk_rows, b1)
+            if csc_off[nxt] - csc_off[start] > max_chunk_edges:
+                # largest 256-aligned cut with <= max_chunk_edges edges
+                hi = int(np.searchsorted(
+                    csc_off, csc_off[start] + max_chunk_edges, side="right"
+                )) - 1
+                nxt = max(start + 256, ((hi - start) // 256) * 256 + start)
+                nxt = min(nxt, b1)
+            if nxt > bounds[-1]:
+                bounds.append(nxt)
+            start = nxt
         if b1 > bounds[-1]:
             bounds.append(b1)
     return np.asarray(bounds, dtype=np.int64)
 
 
-def build_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384,
+def build_chunked_stream(L: MergedDstLayout,
+                         max_chunk_rows: int = EMITTER_FAST_ROWS,
                          be: int = None, lane: int = 128,
-                         tile_rows: int = None) -> ChunkedStreamLayout:
+                         tile_rows: int = None,
+                         max_chunk_edges: int = EMITTER_FAST_ROWS
+                         ) -> ChunkedStreamLayout:
     """Build the (src_chunk, dst_tile)-ordered stream for one merged layout.
 
     Window invariant: every edge position is covered by EXACTLY ONE window
@@ -126,7 +154,7 @@ def build_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384,
         from ..ops.pallas_segment import BE as be
     if tile_rows is None:
         from ..ops.pallas_segment import BN as tile_rows
-    bounds = _chunk_bounds(L, max_chunk_rows)
+    bounds = _chunk_bounds(L, max_chunk_rows, max_chunk_edges)
     n_chunks = len(bounds) - 1
     n_tiles = L.n_rows_total // tile_rows
 
@@ -170,6 +198,13 @@ def build_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384,
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(len(order))
     csc_perm = inv_order[L.csc_perm].astype(np.int32)
+    local_perm = [
+        (csc_perm[chunk_edge_base[c]:chunk_edge_base[c + 1]]
+         - chunk_edge_base[c]).astype(np.int32)
+        for c in range(n_chunks)
+    ]
+    for c, lp in enumerate(local_perm):  # block-diagonality invariant
+        assert len(lp) == 0 or (lp.min() >= 0 and lp.max() < len(lp)), c
 
     e_tot = max(len(src), 1)
     return ChunkedStreamLayout(
@@ -183,11 +218,13 @@ def build_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384,
         desc=desc.astype(np.int32),
         desc_offsets=off.astype(np.int32),
         csc_perm=csc_perm,
+        local_perm=local_perm,
         read_amp=float(len(desc) * be) / e_tot,
     )
 
 
-def get_chunked_stream(L: MergedDstLayout, max_chunk_rows: int = 16384
+def get_chunked_stream(L: MergedDstLayout,
+                       max_chunk_rows: int = EMITTER_FAST_ROWS
                        ) -> ChunkedStreamLayout:
     """Cached accessor: builds the chunked stream once per layout object."""
     cached = getattr(L, "_chunked", None)

@@ -253,7 +253,7 @@ def apply_merged_gat_layer(
     import numpy as _np
     import jax as _jax
 
-    from ..graph.merged_layout import get_chunked_stream
+    from ..graph.merged_layout import EMITTER_FAST_ROWS, get_chunked_stream
     from ..ops.pallas_gat_layer import fused_gat_layer, fused_gat_layer_chunked
     from ..ops.pallas_segment import gather_rows_csc, gather_rows_chunked
 
@@ -261,14 +261,18 @@ def apply_merged_gat_layer(
     d = cfg.gnn_hidden_dim
     H = cfg.gat_num_head
     chunk_rows = (cfg.gather_chunk_rows if cfg.gather_chunk_rows is not None
-                  else 16384)
+                  else EMITTER_FAST_ROWS)
     out_dict = {}
     for dst_t, L in meta["merged"].items():
-        # src-chunked gather (graph/merged_layout.ChunkedStreamLayout) when
-        # the concat src table is in XLA's slow big-table gather regime;
-        # single-device only (the shard_map kernels keep the plain stream)
+        # src-chunked gather (graph/merged_layout.ChunkedStreamLayout) only
+        # when the concat src table is in XLA's slow big-table gather regime
+        # (> EMITTER_FAST_ROWS; chunking an already-fast table just pays
+        # window read amplification in the fused kernel — measured neutral
+        # to negative, scripts/exp_chunk_ab.py). Single-device only (the
+        # shard_map kernels keep the plain stream).
         use_chunked = (merged_kernel_fns is None and chunk_rows > 0
-                       and L.n_src_total > 2 * chunk_rows)
+                       and L.n_src_total > min(EMITTER_FAST_ROWS,
+                                               2 * chunk_rows))
         cs = get_chunked_stream(L, chunk_rows) if use_chunked else None
         # multi-head runs one fused-layer kernel per head over the same
         # merged layout (heads are independent softmaxes; PyG concats them,
@@ -316,7 +320,8 @@ def apply_merged_gat_layer(
                     )
                 out_dtype = tabs[0].dtype
                 msgs = gather_rows_chunked(
-                    tuple(tabs), tuple(cs.local_ids), cs.csc_perm,
+                    tuple(tabs), tuple(cs.local_ids), tuple(cs.local_perm),
+                    tuple(int(b) for b in cs.chunk_edge_base),
                     L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
                 )
                 out_all = fused_gat_layer_chunked(

@@ -720,20 +720,23 @@ def _grc_bwd(csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows, interpret,
 gather_rows_csc.defvjp(_grc_fwd, _grc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def gather_rows_chunked(tabs, local_ids_np, csc_perm_np, csc_ids_np,
-                        csc_offsets_np, n_src_rows, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def gather_rows_chunked(tabs, local_ids_np, local_perm_np,
+                        chunk_edge_base_np, csc_ids_np, csc_offsets_np,
+                        n_src_rows, interpret=False):
     """Chunked fast-emitter gather: concat of per-chunk jnp.take calls.
 
     tabs: tuple of [rows_c, D] arrays (relation-aligned slices of the
     logical concat projected-feature space, graph/merged_layout.py
     ChunkedStreamLayout); local_ids_np: per-chunk int32 index vectors.
     Output rows land in the chunked stream order (chunk-major). XLA's
-    small-table gather emitter is ~2.6x faster per row than the big-table
-    one (scripts/exp_gather.py --chunked), which is what this buys.
+    small-table gather emitter is ~3x faster per row than the big-table
+    one (scripts/exp_emitter_probe.py), which is what this buys.
 
-    Backward: permute the cotangent to CSC (src-sorted) order and run the
-    Pallas segment-sum over the concat src space, then split per chunk —
+    Backward: the [E, D] cotangent permute to CSC (src-sorted) order is
+    block-diagonal over chunks (ChunkedStreamLayout.local_perm), so it too
+    decomposes into per-chunk fast-emitter takes; then the Pallas
+    segment-sum reduces over the concat src space and splits per chunk —
     identical math to gather_rows_csc's backward.
     """
     parts = [jnp.take(t, jnp.asarray(ids), axis=0)
@@ -741,17 +744,24 @@ def gather_rows_chunked(tabs, local_ids_np, csc_perm_np, csc_ids_np,
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
-def _grch_fwd(tabs, local_ids_np, csc_perm_np, csc_ids_np, csc_offsets_np,
-              n_src_rows, interpret):
-    out = gather_rows_chunked(tabs, local_ids_np, csc_perm_np, csc_ids_np,
-                              csc_offsets_np, n_src_rows, interpret)
+def _grch_fwd(tabs, local_ids_np, local_perm_np, chunk_edge_base_np,
+              csc_ids_np, csc_offsets_np, n_src_rows, interpret):
+    out = gather_rows_chunked(tabs, local_ids_np, local_perm_np,
+                              chunk_edge_base_np, csc_ids_np, csc_offsets_np,
+                              n_src_rows, interpret)
     return out, tuple(t.shape[0] for t in tabs)
 
 
-def _grch_bwd(local_ids_np, csc_perm_np, csc_ids_np, csc_offsets_np,
-              n_src_rows, interpret, res, g):
+def _grch_bwd(local_ids_np, local_perm_np, chunk_edge_base_np, csc_ids_np,
+              csc_offsets_np, n_src_rows, interpret, res, g):
     tab_rows = res
-    g_sorted = jnp.take(g, jnp.asarray(csc_perm_np), axis=0)
+    ceb = [int(b) for b in chunk_edge_base_np]
+    parts = [
+        jnp.take(g[ceb[c]:ceb[c + 1]], jnp.asarray(local_perm_np[c]), axis=0)
+        for c in range(len(local_perm_np))
+    ]
+    g_sorted = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                else parts[0])
     dx = pallas_segment_sum(
         g_sorted,
         jnp.asarray(csc_ids_np),

@@ -63,6 +63,31 @@ def test_layout_invariants(world):
             assert (ws % 128 == 0).all()
         # CSC perm over the new order stays src-sorted
         assert np.array_equal(cs.src[cs.csc_perm], L.csc_ids)
+        # block-diagonality: chunk c's CSC positions read only chunk c's
+        # stream block, and the per-chunk local perms reassemble csc_perm
+        for c in range(cs.n_chunks):
+            lo, hi = int(cs.chunk_edge_base[c]), int(cs.chunk_edge_base[c + 1])
+            blk = cs.csc_perm[lo:hi]
+            assert (blk >= lo).all() and (blk < hi).all()
+            assert np.array_equal(cs.local_perm[c], blk - lo)
+
+
+def test_edge_cap_splits_dense_relations(world):
+    """max_chunk_edges bounds every chunk's edge count (keeps the backward
+    per-chunk cotangent tables on the fast gather emitter)."""
+    from kgwas_tpu.graph.merged_layout import build_chunked_stream
+
+    _, cg = world
+    for dst_t, L in cg.merged_layouts().items():
+        cs = build_chunked_stream(L, max_chunk_rows=10 ** 9,
+                                  max_chunk_edges=1024)
+        ec = np.diff(cs.chunk_edge_base)
+        # a single 256-row src group may legitimately exceed the cap; all
+        # multi-group chunks must respect it
+        rows = np.diff(cs.src_bounds)
+        assert ((ec <= 1024) | (rows <= 256)).all(), dst_t
+        cover = np.sort(cs.order)
+        assert np.array_equal(cover, np.arange(len(L.src)))
 
 
 def test_full_model_chunked_matches_xla(world):
@@ -110,7 +135,10 @@ def test_full_model_chunked_multihead(world):
 def test_chunk_gate_small_graph_stays_unchunked(world):
     """Default gate: graphs whose concat src space fits the fast emitter
     keep the plain merged stream (no chunking work)."""
+    from kgwas_tpu.graph.merged_layout import EMITTER_FAST_ROWS
+
     _, cg = world
     for L in cg.merged_layouts().values():
-        # gate in models/hetero_gnn.py: n_src_total > 2 * chunk_rows
-        assert L.n_src_total <= 2 * 16384
+        # gate in models/hetero_gnn.py:
+        # n_src_total > min(EMITTER_FAST_ROWS, 2 * chunk_rows)
+        assert L.n_src_total <= EMITTER_FAST_ROWS
