@@ -49,6 +49,9 @@ def main():
     # src-chunked gather rows: unset -> ModelConfig default; 0 disables
     gather_chunk = os.environ.get("BENCH_GATHER_CHUNK")
     gather_chunk = None if gather_chunk is None else int(gather_chunk)
+    # fragment-windowed backward permute: unset -> default; 0 disables
+    bwd_window = os.environ.get("BENCH_BWD_WINDOW")
+    bwd_window = None if bwd_window is None else int(bwd_window)
 
     g = make_synthetic_kg(
         n_snp=n_snp,
@@ -69,6 +72,7 @@ def main():
         matmul_precision="default" if dtype == "bfloat16" else "highest",
         use_pallas=use_pallas,
         gather_chunk_rows=gather_chunk,
+        bwd_window_edges=bwd_window,
     )
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)

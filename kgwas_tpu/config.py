@@ -49,6 +49,19 @@ class ModelConfig:
                                      # layer over concatenated relation
                                      # streams (fastest); "relation": one
                                      # kernel per relation
+    bwd_window_edges: Optional[int] = None  # fragment-windowed backward
+                                     # permute for plain-stream groups with
+                                     # E > 131072 but a fast forward table
+                                     # (SNP-shaped). Max cotangent-table
+                                     # rows per chunk. OFF by default
+                                     # (None): measured NEUTRAL in
+                                     # isolation and -4% composed on v5e —
+                                     # XLA fuses the chunk slice into the
+                                     # gather, so the cotangent chunks
+                                     # never hit the fast small-table
+                                     # emitter (scripts/exp_win_bwd.py).
+                                     # Set an int to experiment; see
+                                     # graph/merged_layout.build_csc_windows
     gather_chunk_rows: Optional[int] = None  # src-chunked message gather:
                                      # max table rows per chunk (None ->
                                      # EMITTER_FAST_ROWS = 131072; 0

@@ -136,6 +136,35 @@ def _chunk_bounds(L: MergedDstLayout, max_chunk_rows: int,
     return np.asarray(bounds, dtype=np.int64)
 
 
+def _build_windows(go: np.ndarray, n_chunks: int, n_tiles: int, be: int,
+                   lane: int):
+    """Per-tile BE-edge window descriptors over a (chunk major, tile minor)
+    grouped stream. go: [n_chunks*n_tiles+1] group boundary positions.
+    Invariant: every stream position is covered by EXACTLY ONE window of
+    its own tile (LANE-aligned starts; a window overrunning a later
+    fragment of the same tile suppresses that fragment's own windows)."""
+    desc_parts = []
+    off = np.zeros(n_tiles + 1, dtype=np.int64)
+    for t in range(n_tiles):
+        covered = 0
+        wins = []
+        for c in range(n_chunks):
+            s = go[c * n_tiles + t]
+            e = go[c * n_tiles + t + 1]
+            if e <= s:
+                continue
+            w = max((s // lane) * lane, covered)
+            while w < e:
+                wins.append(w)
+                w += be
+            covered = max(covered, w)
+        desc_parts.append(np.asarray(wins, dtype=np.int64))
+        off[t + 1] = off[t] + len(wins)
+    desc = (np.concatenate(desc_parts) if desc_parts
+            else np.zeros(0, dtype=np.int64))
+    return desc, off
+
+
 def build_chunked_stream(L: MergedDstLayout,
                          max_chunk_rows: int = EMITTER_FAST_ROWS,
                          be: int = None, lane: int = 128,
@@ -175,25 +204,7 @@ def build_chunked_stream(L: MergedDstLayout,
          - bounds[c]).astype(np.int32)
         for c in range(n_chunks)
     ]
-    desc_parts = []
-    off = np.zeros(n_tiles + 1, dtype=np.int64)
-    for t in range(n_tiles):
-        covered = 0
-        wins = []
-        for c in range(n_chunks):
-            s = go[c * n_tiles + t]
-            e = go[c * n_tiles + t + 1]
-            if e <= s:
-                continue
-            w = max((s // lane) * lane, covered)
-            while w < e:
-                wins.append(w)
-                w += be
-            covered = max(covered, w)
-        desc_parts.append(np.asarray(wins, dtype=np.int64))
-        off[t + 1] = off[t] + len(wins)
-    desc = (np.concatenate(desc_parts) if desc_parts
-            else np.zeros(0, dtype=np.int64))
+    desc, off = _build_windows(go, n_chunks, n_tiles, be, lane)
 
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(len(order))
@@ -232,6 +243,94 @@ def get_chunked_stream(L: MergedDstLayout,
         cached = build_chunked_stream(L, max_chunk_rows)
         L._chunked = cached
         L._chunked_max_rows = max_chunk_rows
+    return cached
+
+
+@dataclass
+class CscWindowLayout:
+    """Chunked-table decomposition of the backward cotangent permute for a
+    PLAIN (dst-tile-major) merged stream, consumed by a fragment-windowed
+    segment-sum kernel (ops/pallas_segment.segment_sum_windows).
+
+    The backward of the [E, D] message gather permutes the per-edge
+    cotangent to CSC (src-sorted) order — a take whose TABLE is the E-row
+    cotangent itself, which is on XLA's slow gather emitter whenever
+    E > EMITTER_FAST_ROWS (SNP-shaped groups: small src space, huge E).
+    Cutting the E-row table into <= max_chunk_edges stream-position ranges
+    and regrouping the CSC stream (table_chunk major, src minor) turns the
+    permute into per-chunk fast-emitter takes; the segment-sum then walks
+    per-src-tile window descriptors instead of contiguous CSC rows.
+    Worth it exactly when the fragment count stays low — i.e. few src
+    tiles: read_amp here is ~(n_src_tiles * n_chunks * BE) / E.
+    """
+
+    n_chunks: int
+    edge_bounds: np.ndarray      # int64 [n_chunks+1] stream-position cuts
+    local_perm: List[np.ndarray]  # per chunk: table-local row indices
+    ids: np.ndarray              # int32 [E] src ids, grouped order
+    desc: np.ndarray             # int32 [ND] window starts (grouped stream)
+    desc_offsets: np.ndarray     # int32 [n_src_tiles+1]
+    read_amp: float
+
+
+def build_csc_windows(L: MergedDstLayout,
+                      max_chunk_edges: int = EMITTER_FAST_ROWS,
+                      be: int = None, lane: int = 128,
+                      tile_rows: int = None) -> CscWindowLayout:
+    if be is None:
+        from ..ops.pallas_segment import BE as be
+    if tile_rows is None:
+        from ..ops.pallas_segment import BN as tile_rows
+    e_tot = len(L.csc_perm)
+    n_src_tiles = -(-L.n_src_total // tile_rows)
+    step = max(lane, (max_chunk_edges // lane) * lane)
+    bounds = np.append(np.arange(0, max(e_tot, 1), step, dtype=np.int64),
+                       np.int64(e_tot))
+    n_chunks = len(bounds) - 1
+
+    # regroup CSC positions (table_chunk major, src minor): stable sort of
+    # the CSC stream by the chunk its table row (= stream position) lives in
+    chunk_of = (np.searchsorted(bounds, L.csc_perm, side="right") - 1
+                ).astype(np.int64)
+    grp = np.argsort(chunk_of, kind="stable")
+    ids = L.csc_ids[grp].astype(np.int32)
+    perm_g = L.csc_perm[grp]
+    counts = np.bincount(chunk_of, minlength=n_chunks)
+    ceb = np.zeros(n_chunks + 1, dtype=np.int64)
+    np.cumsum(counts, out=ceb[1:])
+    local_perm = [
+        (perm_g[ceb[c]:ceb[c + 1]] - bounds[c]).astype(np.int32)
+        for c in range(n_chunks)
+    ]
+
+    # per-(chunk, src_tile) fragments are contiguous (CSC order within each
+    # chunk group is src-sorted); reuse the window builder
+    group = chunk_of[grp] * n_src_tiles + (ids.astype(np.int64) // tile_rows)
+    counts2 = np.bincount(group, minlength=n_chunks * n_src_tiles)
+    go = np.zeros(n_chunks * n_src_tiles + 1, dtype=np.int64)
+    np.cumsum(counts2, out=go[1:])
+    desc, off = _build_windows(go, n_chunks, n_src_tiles, be, lane)
+
+    return CscWindowLayout(
+        n_chunks=n_chunks,
+        edge_bounds=bounds,
+        local_perm=local_perm,
+        ids=ids,
+        desc=desc.astype(np.int32),
+        desc_offsets=off.astype(np.int32),
+        read_amp=float(len(desc) * be) / max(e_tot, 1),
+    )
+
+
+def get_csc_windows(L: MergedDstLayout,
+                    max_chunk_edges: int = EMITTER_FAST_ROWS
+                    ) -> CscWindowLayout:
+    """Cached accessor: builds the CSC window layout once per layout."""
+    cached = getattr(L, "_csc_win", None)
+    if cached is None or getattr(L, "_csc_win_edges", None) != max_chunk_edges:
+        cached = build_csc_windows(L, max_chunk_edges)
+        L._csc_win = cached
+        L._csc_win_edges = max_chunk_edges
     return cached
 
 

@@ -253,9 +253,11 @@ def apply_merged_gat_layer(
     import numpy as _np
     import jax as _jax
 
-    from ..graph.merged_layout import EMITTER_FAST_ROWS, get_chunked_stream
+    from ..graph.merged_layout import (EMITTER_FAST_ROWS, get_chunked_stream,
+                                       get_csc_windows)
     from ..ops.pallas_gat_layer import fused_gat_layer, fused_gat_layer_chunked
-    from ..ops.pallas_segment import gather_rows_csc, gather_rows_chunked
+    from ..ops.pallas_segment import (gather_rows_csc, gather_rows_chunked,
+                                      gather_rows_csc_win)
 
     interpret = _jax.default_backend() != "tpu"
     d = cfg.gnn_hidden_dim
@@ -274,6 +276,21 @@ def apply_merged_gat_layer(
                        and L.n_src_total > min(EMITTER_FAST_ROWS,
                                                2 * chunk_rows))
         cs = get_chunked_stream(L, chunk_rows) if use_chunked else None
+        # fragment-windowed backward permute for plain-stream groups whose
+        # E-row cotangent table is on the slow emitter while the forward
+        # table is already fast (SNP-shaped: small src space, huge E).
+        # OPT-IN (cfg.bwd_window_edges): XLA fuses the cotangent chunk
+        # slices into the gathers, so the per-chunk takes never reach the
+        # fast small-table emitter — measured neutral in isolation and -4%
+        # composed on v5e (scripts/exp_win_bwd.py, benchmarks/RESULTS.md)
+        win_edges = cfg.bwd_window_edges or 0
+        wl = None
+        if (cs is None and merged_kernel_fns is None and win_edges > 0
+                and chunk_rows > 0
+                and len(L.src) > min(EMITTER_FAST_ROWS, 2 * win_edges)):
+            wl = get_csc_windows(L, win_edges)
+            if wl.read_amp > 1.5:
+                wl = None
         # multi-head runs one fused-layer kernel per head over the same
         # merged layout (heads are independent softmaxes; PyG concats them,
         # reference conv.py:122-131). Per-head slices of lin_src keep each
@@ -342,10 +359,19 @@ def apply_merged_gat_layer(
                         a_dst_all.astype(jnp.float32),
                     )
                 else:
-                    msgs = gather_rows_csc(
-                        xs_all, jnp.asarray(L.src), L.csc_perm,
-                        L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
-                    )
+                    if wl is not None:
+                        msgs = gather_rows_csc_win(
+                            xs_all, jnp.asarray(L.src),
+                            tuple(int(b) for b in wl.edge_bounds),
+                            tuple(wl.local_perm), wl.ids, wl.desc,
+                            wl.desc_offsets, L.n_src_total, interpret,
+                        )
+                    else:
+                        msgs = gather_rows_csc(
+                            xs_all, jnp.asarray(L.src), L.csc_perm,
+                            L.csc_ids, L.csc_offsets, L.n_src_total,
+                            interpret,
+                        )
                     out_all = fused_gat_layer(
                         msgs, att.astype(jnp.float32),
                         a_dst_all.astype(jnp.float32),

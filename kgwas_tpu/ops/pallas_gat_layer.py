@@ -618,12 +618,17 @@ def _make_fwd_kernel_chunked(negative_slope, temperature):
         a_dst_row = adst_ref[0:1, :]
 
         def start_chunk(c, slot):
-            for dma in _edge_dmas_at(desc_ref[dlo + c], slot, msgs_ref,
+            # (s // LANE) * LANE is a numeric no-op (desc starts are
+            # LANE-aligned by construction) but hands Mosaic the
+            # divisibility proof its packed-dtype (bf16) HBM tiling needs
+            s = (desc_ref[dlo + c] // LANE) * LANE
+            for dma in _edge_dmas_at(s, slot, msgs_ref,
                                      msgs_vmem, dst_ref, dst_vmem, sems):
                 dma.start()
 
         def wait_chunk(c, slot):
-            for dma in _edge_dmas_at(desc_ref[dlo + c], slot, msgs_ref,
+            s = (desc_ref[dlo + c] // LANE) * LANE
+            for dma in _edge_dmas_at(s, slot, msgs_ref,
                                      msgs_vmem, dst_ref, dst_vmem, sems):
                 dma.wait()
 
@@ -772,7 +777,9 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
         inv_sum = 1.0 / (rsum_ref[0, :] + EPS)
 
         def start_chunk(c, slot):
-            s = desc_ref[dlo + c]
+            # LANE re-derivation gives Mosaic the divisibility proof for
+            # packed-dtype HBM tilings (see _make_fwd_kernel_chunked)
+            s = (desc_ref[dlo + c] // LANE) * LANE
             for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
                                      dst_ref, dst_vmem, sems):
                 dma.start()
@@ -783,7 +790,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
             ).start()
 
         def wait_chunk(c, slot):
-            s = desc_ref[dlo + c]
+            s = (desc_ref[dlo + c] // LANE) * LANE
             for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
                                      dst_ref, dst_vmem, sems):
                 dma.wait()
@@ -793,7 +800,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
             ).wait()
 
         def write_dma(c, slot):
-            s = desc_ref[dlo + c]
+            s = (desc_ref[dlo + c] // LANE) * LANE
             return pltpu.make_async_copy(
                 dmsgs_out_vmem.at[slot], dmsgs_ref.at[pl.ds(s, BE), :],
                 wsems.at[slot],

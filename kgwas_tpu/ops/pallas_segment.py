@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -658,6 +660,165 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
         interpret=interpret,
     )(tile_starts, vals_p, ids_p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fragment-windowed segment-sum (chunked-table cotangent permute)
+#
+# For SNP-shaped merged groups (small src space, huge E) the backward's
+# [E, D] cotangent permute to CSC order is a take whose TABLE is the E-row
+# cotangent itself — slow-emitter territory whenever E > EMITTER_FAST_ROWS.
+# graph/merged_layout.build_csc_windows regroups the CSC stream
+# (table_chunk major, src minor) so the permute becomes per-chunk
+# fast-emitter takes; this kernel is pallas_segment_sum walking per-tile
+# window descriptors over the grouped stream instead of contiguous rows.
+# ---------------------------------------------------------------------------
+
+
+def _segsum_win_kernel(
+    doff_ref,         # scalar prefetch: per-src-tile desc ranges
+    desc_ref,         # scalar prefetch: window start positions
+    vals_ref,         # [E_pad, D] HBM (grouped order)
+    ids_ref,          # [E_pad/LANE, LANE] HBM (src ids, grouped order)
+    out_ref,          # [BN, D] VMEM block
+    vals_vmem,
+    ids_vmem,
+    sems,
+):
+    i = pl.program_id(0)
+    dlo = doff_ref[i]
+    nwin = doff_ref[i + 1] - dlo
+    row_base = i * BN
+
+    def win_dmas(c, slot):
+        # LANE re-derivation: numeric no-op, gives Mosaic the divisibility
+        # proof packed-dtype HBM tilings need for dynamic slices
+        s = (desc_ref[dlo + c] // LANE) * LANE
+        r = s // LANE
+        return [
+            pltpu.make_async_copy(
+                vals_ref.at[pl.ds(s, BE), :], vals_vmem.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                ids_ref.at[pl.ds(r, BR), :], ids_vmem.at[slot],
+                sems.at[slot, 1],
+            ),
+        ]
+
+    @pl.when(nwin > 0)
+    def _nonempty():
+        for dma in win_dmas(0, 0):
+            dma.start()
+
+        def body(c, acc):
+            slot = jax.lax.rem(c, NBUF)
+
+            @pl.when(c + 1 < nwin)
+            def _():
+                for dma in win_dmas(c + 1, jax.lax.rem(c + 1, NBUF)):
+                    dma.start()
+
+            for dma in win_dmas(c, slot):
+                dma.wait()
+            # one-hot masks rows of foreign tiles inside the window
+            onehot_t = _onehot_t(_lane_concat(ids_vmem.at[slot]), row_base)
+            return acc + jax.lax.dot_general(
+                onehot_t.astype(vals_vmem.dtype),
+                vals_vmem[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, nwin, body,
+            jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+        )
+        out_ref[:, :] = acc
+
+    @pl.when(nwin <= 0)
+    def _empty():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def segment_sum_windows(vals, ids, desc, desc_offsets, n_rows,
+                        interpret=False):
+    """out[r] = sum_{e: ids[e]=r} vals[e] over a fragment-windowed stream.
+
+    vals/ids in graph/merged_layout.CscWindowLayout grouped order; desc /
+    desc_offsets its per-src-tile window descriptors. Every stream position
+    is covered by exactly one window of its own tile; window overreads hit
+    foreign-tile rows, which the one-hot zeroes. n_rows % BN == 0."""
+    _check_bn_supported()
+    d = vals.shape[1]
+    n_tiles = n_rows // BN
+    vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, d), lambda i, doff, dsc: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), vals.dtype),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _segsum_win_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, d), jnp.float32)],
+        interpret=interpret,
+    )(desc_offsets, desc, vals_p, ids_p)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def gather_rows_csc_win(x, idx, edge_bounds_np, local_perm_np, ids_np,
+                        desc_np, desc_off_np, n_src_rows, interpret=False):
+    """jnp.take(x, idx) whose BACKWARD avoids the slow big-table permute.
+
+    Plain-stream analog of gather_rows_chunked's backward trick for groups
+    where the forward table is already fast but E > EMITTER_FAST_ROWS
+    (SNP-shaped: small src space, huge edge count). Layout arrays from
+    graph/merged_layout.build_csc_windows. Replaces the reference's
+    torch_scatter transpose (reference kgwas/conv.py:227-228)."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _grcw_fwd(x, idx, edge_bounds_np, local_perm_np, ids_np, desc_np,
+              desc_off_np, n_src_rows, interpret):
+    return jnp.take(x, idx, axis=0), None
+
+
+def _grcw_bwd(edge_bounds_np, local_perm_np, ids_np, desc_np, desc_off_np,
+              n_src_rows, interpret, _res, g):
+    eb = [int(b) for b in edge_bounds_np]
+    parts = [
+        jnp.take(g[eb[c]:eb[c + 1]], jnp.asarray(local_perm_np[c]), axis=0)
+        for c in range(len(local_perm_np))
+    ]
+    gc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    dx = segment_sum_windows(
+        gc,
+        jnp.asarray(ids_np),
+        jnp.asarray(desc_np if len(desc_np) else np.zeros(1, np.int32)),
+        jnp.asarray(desc_off_np),
+        n_src_rows,
+        interpret,
+    )
+    return dx, None
+
+
+gather_rows_csc_win.defvjp(_grcw_fwd, _grcw_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
