@@ -229,6 +229,7 @@ class KGWAS:
         metrics_log: Optional[str] = None,
         checkpoint_every: Optional[int] = None,
         resume: bool = False,
+        max_restarts: int = 0,
         mesh=None,
     ):
         """Training defaults mirror reference kgwas/kgwas.py:85-87.
@@ -236,6 +237,11 @@ class KGWAS:
         appends per-epoch JSONL records (edges/s, epoch time, val metrics).
         checkpoint_every=N saves (params, opt_state) asynchronously via orbax
         every N steps; resume=True restores the latest such state.
+        max_restarts=N enables elastic recovery: transient backend
+        failures (TPU runtime INTERNAL, relay claim timeouts — see
+        engine/resilience.py) restore the last epoch-boundary snapshot,
+        re-upload the graph, and continue; fatal errors (OOM, shape bugs)
+        still raise. The reference has no failure handling at all.
         mesh: multi-chip training — an int (data-parallel device count), a
         dict of mesh axis sizes ({'data': 8, 'model': 1}), or a
         jax.sharding.Mesh; the step auto-selects the shard_map'd fused
@@ -359,65 +365,140 @@ class KGWAS:
 
         print_sys("Start Training...")
         self.train_history = []
+        self.restart_count = 0
         global_step = 0
-        for ep in range(total_epoch):
-            batches = epoch_batches(train_ids, batch_size, shuffle, shuffle_rng)
-            last_loss = float("nan")
-            meter.start_epoch()
-            with profile_trace(profile_dir if ep == 0 else None):
-                for step, bidx in enumerate(batches):
-                    params, opt_state, loss = train_step(
-                        params, opt_state, arrays, jnp.asarray(bidx), y_node,
-                        w_node,
-                    )
-                    meter.step()
-                    global_step += 1
-                    if checkpointer and global_step % checkpoint_every == 0:
-                        from .engine.checkpoint import save_train_state_async
+        fault_hook = getattr(self, "_fault_hook", None)
 
-                        save_train_state_async(
-                            checkpointer, ckpt_dir, global_step,
-                            jax.tree_util.tree_map(jnp.copy, params),
-                            jax.tree_util.tree_map(jnp.copy, opt_state),
+        # elastic recovery (max_restarts > 0): host-side snapshots survive a
+        # backend restart that invalidates every device buffer. Snapshots are
+        # taken at epoch boundaries; a restart replays at most one epoch.
+        if max_restarts:
+            from .engine.resilience import (RetryPolicy,
+                                            is_transient_backend_error,
+                                            sleep_backoff)
+
+            policy = RetryPolicy(max_restarts=max_restarts)
+
+            def host_snap(tree):
+                return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+            snap = {
+                "params": host_snap(params),
+                "opt": host_snap(opt_state),
+                "best": host_snap(best_params),
+                "min_val": min_val,
+                "best_epoch": best_epoch,
+                "ep": 0,
+                "global_step": 0,
+            }
+
+        ep = 0
+        while ep < total_epoch:
+            try:
+                batches = epoch_batches(
+                    train_ids, batch_size, shuffle, shuffle_rng
+                )
+                last_loss = float("nan")
+                meter.start_epoch()
+                with profile_trace(profile_dir if ep == 0 else None):
+                    for step, bidx in enumerate(batches):
+                        if fault_hook is not None:
+                            fault_hook(global_step)
+                        params, opt_state, loss = train_step(
+                            params, opt_state, arrays, jnp.asarray(bidx),
+                            y_node, w_node,
                         )
-                    if self.wandb:
-                        self.wandb.log({"training_loss": float(loss)})
-                    if (step % log_interval == 0) and (step >= log_interval):
-                        print_sys(
-                            f"Epoch {ep + 1} Step {step + 1} "
-                            f"Train Loss: {float(loss):.4f}"
-                        )
-                    last_loss = loss
-                jax.block_until_ready(last_loss)
+                        meter.step()
+                        global_step += 1
+                        if checkpointer and global_step % checkpoint_every == 0:
+                            from .engine.checkpoint import save_train_state_async
 
-            pred_all = np.asarray(forward(params, arrays))
-            val_metrics = compute_metrics(
-                {"pred": pred_all[val_ids], "truth": np.asarray(y_node)[val_ids]}
-            )
-            rec = meter.end_epoch(
-                ep + 1,
-                extra={
-                    "loss": float(last_loss),
-                    **{f"val_{k}": v for k, v in val_metrics.items()},
-                },
-            )
-            print_sys(
-                f"Epoch {ep + 1}: Validation MSE: {val_metrics['mse']:.4f} "
-                f"Validation Pearson: {val_metrics['pearsonr']:.4f}. "
-                f"({rec['steps']} steps, {rec['epoch_time_s']:.2f}s, "
-                f"{rec['edges_per_sec']:.3g} edge-traversals/s)"
-            )
-            self.train_history.append(rec)
-            if self.wandb:
-                for k, v in val_metrics.items():
-                    self.wandb.log({"val_" + k: v})
+                            save_train_state_async(
+                                checkpointer, ckpt_dir, global_step,
+                                jax.tree_util.tree_map(jnp.copy, params),
+                                jax.tree_util.tree_map(jnp.copy, opt_state),
+                            )
+                        if self.wandb:
+                            self.wandb.log({"training_loss": float(loss)})
+                        if (step % log_interval == 0) and (step >= log_interval):
+                            print_sys(
+                                f"Epoch {ep + 1} Step {step + 1} "
+                                f"Train Loss: {float(loss):.4f}"
+                            )
+                        last_loss = loss
+                    jax.block_until_ready(last_loss)
 
-            if val_metrics["pearsonr"] > min_val:
-                min_val = val_metrics["pearsonr"]
-                # device copy: train_step donates its input buffers, so a
-                # by-reference snapshot would be invalidated next step
-                best_params = jax.tree_util.tree_map(jnp.copy, params)
-                best_epoch = ep
+                pred_all = np.asarray(forward(params, arrays))
+                val_metrics = compute_metrics(
+                    {"pred": pred_all[val_ids],
+                     "truth": np.asarray(y_node)[val_ids]}
+                )
+                rec = meter.end_epoch(
+                    ep + 1,
+                    extra={
+                        "loss": float(last_loss),
+                        **{f"val_{k}": v for k, v in val_metrics.items()},
+                    },
+                )
+                print_sys(
+                    f"Epoch {ep + 1}: Validation MSE: {val_metrics['mse']:.4f} "
+                    f"Validation Pearson: {val_metrics['pearsonr']:.4f}. "
+                    f"({rec['steps']} steps, {rec['epoch_time_s']:.2f}s, "
+                    f"{rec['edges_per_sec']:.3g} edge-traversals/s)"
+                )
+                self.train_history.append(rec)
+                if self.wandb:
+                    for k, v in val_metrics.items():
+                        self.wandb.log({"val_" + k: v})
+
+                if val_metrics["pearsonr"] > min_val:
+                    min_val = val_metrics["pearsonr"]
+                    # device copy: train_step donates its input buffers, so a
+                    # by-reference snapshot would be invalidated next step
+                    best_params = jax.tree_util.tree_map(jnp.copy, params)
+                    best_epoch = ep
+
+                ep += 1
+                if max_restarts:
+                    snap = {
+                        "params": host_snap(params),
+                        "opt": host_snap(opt_state),
+                        "best": host_snap(best_params),
+                        "min_val": min_val,
+                        "best_epoch": best_epoch,
+                        "ep": ep,
+                        "global_step": global_step,
+                    }
+            except Exception as e:  # noqa: BLE001 — classified below
+                if not (max_restarts
+                        and self.restart_count < max_restarts
+                        and is_transient_backend_error(e)):
+                    raise
+                self.restart_count += 1
+                print_sys(
+                    f"Transient backend failure ({type(e).__name__}: "
+                    f"{str(e)[:200]}); restart "
+                    f"{self.restart_count}/{max_restarts} from epoch "
+                    f"{snap['ep'] + 1}"
+                )
+                sleep_backoff(policy, self.restart_count)
+                # re-upload everything: a backend restart invalidates all
+                # device buffers (graph arrays included)
+                cg, arrays, y_node, w_node = self._device_state(mesh)
+                if mesh is not None:
+                    from .parallel.shard import node_vector_sharding
+
+                    _nodes = node_vector_sharding(mesh)
+                    y_node = jax.device_put(y_node, _nodes)
+                    w_node = jax.device_put(w_node, _nodes)
+                params = jax.tree_util.tree_map(jnp.asarray, snap["params"])
+                opt_state = jax.tree_util.tree_map(jnp.asarray, snap["opt"])
+                best_params = jax.tree_util.tree_map(jnp.asarray, snap["best"])
+                min_val = snap["min_val"]
+                best_epoch = snap["best_epoch"]
+                ep = snap["ep"]
+                global_step = snap["global_step"]
+                self.train_history = self.train_history[:ep]
 
         self.params = params
         self.best_params = best_params
