@@ -62,6 +62,14 @@ class ModelConfig:
                                      # emitter (scripts/exp_win_bwd.py).
                                      # Set an int to experiment; see
                                      # graph/merged_layout.build_csc_windows
+    pad_fragments: Optional[bool] = None  # fragment-padded chunked stream
+                                     # (v3): BE-pad (chunk, tile) fragments
+                                     # with sentinel edges so every backward
+                                     # window is fully owned -> zero-RMW
+                                     # backward kernel (drops 1 of 3 BE x D
+                                     # DMA streams). None = auto (on when
+                                     # the chunked gather engages); False
+                                     # forces the read-merge kernel
     gather_chunk_rows: Optional[int] = None  # src-chunked message gather:
                                      # max table rows per chunk (None ->
                                      # EMITTER_FAST_ROWS = 131072; 0

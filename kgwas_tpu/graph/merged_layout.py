@@ -98,6 +98,16 @@ class ChunkedStreamLayout:
     # fast emitter, same trick as the forward.
     local_perm: List[np.ndarray]  # per chunk: csc_perm slice - edge base
     read_amp: float            # diagnostic: window rows / real stream rows
+    # fragment-padded variant (v3): every (chunk, tile) fragment is padded
+    # to a BE multiple with sentinel edges (dst = n_rows_total, owned by no
+    # tile), so every BE window is FULLY owned by its tile — the backward
+    # kernel can write dmsgs windows blind, dropping the read-modify-write
+    # stream and the ownership select. When True, len(src) == padded stream
+    # length, chunk_edge_base holds PADDED block boundaries, local_ids have
+    # padded length (sentinels gather an arbitrary in-chunk row), and
+    # local_perm values index into the padded blocks (real edges only).
+    fully_owned: bool = False
+    num_real_edges: int = 0    # real (unpadded) stream rows
 
 
 # Largest table the fast XLA gather emitter handles: measured ~3.7 ns/row
@@ -169,7 +179,8 @@ def build_chunked_stream(L: MergedDstLayout,
                          max_chunk_rows: int = EMITTER_FAST_ROWS,
                          be: int = None, lane: int = 128,
                          tile_rows: int = None,
-                         max_chunk_edges: int = EMITTER_FAST_ROWS
+                         max_chunk_edges: int = EMITTER_FAST_ROWS,
+                         pad_fragments: bool = False
                          ) -> ChunkedStreamLayout:
     """Build the (src_chunk, dst_tile)-ordered stream for one merged layout.
 
@@ -178,11 +189,36 @@ def build_chunked_stream(L: MergedDstLayout,
     (a window may overrun into foreign fragments — masked by dst in-kernel;
     if the overrun covers a later fragment of the SAME tile, that fragment
     emits no window of its own). Windows of different tiles may overlap.
+
+    pad_fragments=True builds the fully-owned (v3) variant: fragments are
+    BE-padded with sentinel edges so every window is fully owned by its
+    tile (see ChunkedStreamLayout.fully_owned). The per-chunk backward
+    cotangent tables then hold PADDED block lengths, so the edge cap is
+    iteratively tightened until the largest padded block fits
+    max_chunk_edges (keeps the backward takes on the fast gather emitter).
     """
     if be is None:
         from ..ops.pallas_segment import BE as be
     if tile_rows is None:
         from ..ops.pallas_segment import BN as tile_rows
+    cap = max_chunk_edges
+    for _ in range(4):
+        out = _build_chunked_stream_once(
+            L, max_chunk_rows, be, lane, tile_rows, cap, pad_fragments)
+        if not pad_fragments:
+            return out
+        pceb = np.asarray(out.chunk_edge_base)
+        worst = int(np.max(np.diff(pceb))) if len(pceb) > 1 else 0
+        if worst <= max_chunk_edges or cap <= be:
+            return out
+        cap = max(be, int(cap * max_chunk_edges / worst) // lane * lane)
+    return out
+
+
+def _build_chunked_stream_once(L: MergedDstLayout, max_chunk_rows: int,
+                               be: int, lane: int, tile_rows: int,
+                               max_chunk_edges: int, pad_fragments: bool
+                               ) -> ChunkedStreamLayout:
     bounds = _chunk_bounds(L, max_chunk_rows, max_chunk_edges)
     n_chunks = len(bounds) - 1
     n_tiles = L.n_rows_total // tile_rows
@@ -196,8 +232,77 @@ def build_chunked_stream(L: MergedDstLayout,
     counts = np.bincount(group[order], minlength=n_chunks * n_tiles)
     go = np.zeros(n_chunks * n_tiles + 1, dtype=np.int64)
     np.cumsum(counts, out=go[1:])
+    assert go[-1] == len(src)
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(len(order))
+    e_tot = max(len(src), 1)
+
+    if pad_fragments:
+        # v3: BE-pad every (chunk, tile) fragment with sentinel edges so
+        # each window is fully owned by its tile. Sentinels carry
+        # dst = n_rows_total (in no tile's one-hot range -> masked out of
+        # all kernel math) and src = the chunk's first row (any valid
+        # gather target; its value never escapes the mask).
+        frag = np.diff(go)                              # [n_chunks*n_tiles]
+        pfrag = -(-frag // be) * be
+        pgo = np.zeros_like(go)
+        np.cumsum(pfrag, out=pgo[1:])
+        ep = int(pgo[-1])
+        grp_of_j = np.repeat(np.arange(len(frag)), frag)
+        pos_map = (np.arange(len(src), dtype=np.int64)
+                   - go[grp_of_j] + pgo[grp_of_j])      # grouped j -> padded
+        src_p = np.repeat(bounds[np.arange(len(frag)) // n_tiles], pfrag)
+        dst_p = np.full(ep, L.n_rows_total, dtype=np.int64)
+        src_p[pos_map] = src
+        dst_p[pos_map] = dst
+        pceb = pgo[::n_tiles].copy()                    # padded chunk bases
+
+        local_ids = [
+            (src_p[pceb[c]:pceb[c + 1]] - bounds[c]).astype(np.int32)
+            for c in range(n_chunks)
+        ]
+        # windows exactly tile each padded fragment, emitted (tile major,
+        # chunk minor) to match desc_offsets' per-tile ranges
+        nw = pfrag // be
+        by_tile = np.arange(n_chunks * n_tiles, dtype=np.int64).reshape(
+            n_chunks, n_tiles).T.reshape(-1)
+        reps = nw[by_tile]
+        cum = np.zeros(len(reps) + 1, dtype=np.int64)
+        np.cumsum(reps, out=cum[1:])
+        intra = (np.arange(int(cum[-1]), dtype=np.int64)
+                 - np.repeat(cum[:-1], reps))
+        desc = np.repeat(pgo[by_tile], reps) + intra * be
+        off = np.zeros(n_tiles + 1, dtype=np.int64)
+        np.cumsum(nw.reshape(n_chunks, n_tiles).sum(axis=0), out=off[1:])
+
+        csc_perm = pos_map[inv_order[L.csc_perm]].astype(np.int32)
+        ceb_real = go[::n_tiles]                        # CSC-stream slices
+        local_perm = [
+            (csc_perm[ceb_real[c]:ceb_real[c + 1]] - pceb[c]).astype(np.int32)
+            for c in range(n_chunks)
+        ]
+        for c, lp in enumerate(local_perm):  # block-diagonality invariant
+            assert len(lp) == 0 or (
+                lp.min() >= 0 and lp.max() < pceb[c + 1] - pceb[c]), c
+
+        return ChunkedStreamLayout(
+            src_bounds=bounds,
+            n_chunks=n_chunks,
+            order=order.astype(np.int32),
+            src=src_p.astype(np.int32),
+            dst=dst_p.astype(np.int32),
+            chunk_edge_base=pceb,
+            local_ids=local_ids,
+            desc=desc.astype(np.int32),
+            desc_offsets=off.astype(np.int32),
+            csc_perm=csc_perm,
+            local_perm=local_perm,
+            read_amp=float(ep) / e_tot,
+            fully_owned=True,
+            num_real_edges=len(src),
+        )
+
     chunk_edge_base = go[::n_tiles].copy()
-    assert chunk_edge_base[-1] == len(src)
 
     local_ids = [
         (src[chunk_edge_base[c]:chunk_edge_base[c + 1]]
@@ -206,8 +311,6 @@ def build_chunked_stream(L: MergedDstLayout,
     ]
     desc, off = _build_windows(go, n_chunks, n_tiles, be, lane)
 
-    inv_order = np.empty_like(order)
-    inv_order[order] = np.arange(len(order))
     csc_perm = inv_order[L.csc_perm].astype(np.int32)
     local_perm = [
         (csc_perm[chunk_edge_base[c]:chunk_edge_base[c + 1]]
@@ -217,7 +320,6 @@ def build_chunked_stream(L: MergedDstLayout,
     for c, lp in enumerate(local_perm):  # block-diagonality invariant
         assert len(lp) == 0 or (lp.min() >= 0 and lp.max() < len(lp)), c
 
-    e_tot = max(len(src), 1)
     return ChunkedStreamLayout(
         src_bounds=bounds,
         n_chunks=n_chunks,
@@ -231,18 +333,22 @@ def build_chunked_stream(L: MergedDstLayout,
         csc_perm=csc_perm,
         local_perm=local_perm,
         read_amp=float(len(desc) * be) / e_tot,
+        fully_owned=False,
+        num_real_edges=len(src),
     )
 
 
 def get_chunked_stream(L: MergedDstLayout,
-                       max_chunk_rows: int = EMITTER_FAST_ROWS
-                       ) -> ChunkedStreamLayout:
+                       max_chunk_rows: int = EMITTER_FAST_ROWS,
+                       pad_fragments: bool = False) -> ChunkedStreamLayout:
     """Cached accessor: builds the chunked stream once per layout object."""
+    key = (max_chunk_rows, pad_fragments)
     cached = getattr(L, "_chunked", None)
-    if cached is None or getattr(L, "_chunked_max_rows", None) != max_chunk_rows:
-        cached = build_chunked_stream(L, max_chunk_rows)
+    if cached is None or getattr(L, "_chunked_key", None) != key:
+        cached = build_chunked_stream(L, max_chunk_rows,
+                                      pad_fragments=pad_fragments)
         L._chunked = cached
-        L._chunked_max_rows = max_chunk_rows
+        L._chunked_key = key
     return cached
 
 

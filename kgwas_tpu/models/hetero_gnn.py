@@ -275,7 +275,10 @@ def apply_merged_gat_layer(
         use_chunked = (merged_kernel_fns is None and chunk_rows > 0
                        and L.n_src_total > min(EMITTER_FAST_ROWS,
                                                2 * chunk_rows))
-        cs = get_chunked_stream(L, chunk_rows) if use_chunked else None
+        pad_frags = (cfg.pad_fragments if cfg.pad_fragments is not None
+                     else True)
+        cs = (get_chunked_stream(L, chunk_rows, pad_fragments=pad_frags)
+              if use_chunked else None)
         # fragment-windowed backward permute for plain-stream groups whose
         # E-row cotangent table is on the slow emitter while the forward
         # table is already fast (SNP-shaped: small src space, huge E).
@@ -346,7 +349,7 @@ def apply_merged_gat_layer(
                     a_dst_all.astype(jnp.float32),
                     cs.dst, cs.desc, cs.desc_offsets, L.tile2rel,
                     L.n_rows_total, cfg.negative_slope, cfg.temperature,
-                    interpret,
+                    interpret, cs.fully_owned,
                 )
             else:
                 xs_all = jnp.concatenate(

@@ -742,7 +742,11 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
     return out, row_max, row_sum
 
 
-def _make_bwd_kernel_chunked(negative_slope, temperature):
+def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
+    """owned=True consumes a fully-owned (fragment-padded, v3) stream:
+    every window's lanes belong to this tile or are sentinels, so dmsgs
+    windows are written blind — no read-modify-write stream, no ownership
+    select (graph/merged_layout.ChunkedStreamLayout.fully_owned)."""
     def kernel(
         doff_ref,
         desc_ref,
@@ -758,13 +762,14 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
         dmsgs_ref,        # [E_pad, D] HBM out
         dadst_ref,        # [8, BN] block out
         datt_ref,         # [8, D] block out
-        msgs_vmem,
-        dst_vmem,
-        dmsgs_old,
-        dmsgs_out_vmem,   # [NBUF, BE, D]
-        sems,             # (NBUF, 3)
-        wsems,            # (NBUF,)
+        *scratch,
     ):
+        if owned:
+            msgs_vmem, dst_vmem, dmsgs_out_vmem, sems, wsems = scratch
+            dmsgs_old = None
+        else:
+            (msgs_vmem, dst_vmem, dmsgs_old, dmsgs_out_vmem, sems,
+             wsems) = scratch
         i = pl.program_id(0)
         dlo = doff_ref[i]
         nchunks = doff_ref[i + 1] - dlo
@@ -783,21 +788,23 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
             for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
                                      dst_ref, dst_vmem, sems):
                 dma.start()
-            # windows interleave foreign fragments: always read-merge
-            pltpu.make_async_copy(
-                dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
-                sems.at[slot, 2],
-            ).start()
+            if not owned:
+                # windows interleave foreign fragments: always read-merge
+                pltpu.make_async_copy(
+                    dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                    sems.at[slot, 2],
+                ).start()
 
         def wait_chunk(c, slot):
             s = (desc_ref[dlo + c] // LANE) * LANE
             for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
                                      dst_ref, dst_vmem, sems):
                 dma.wait()
-            pltpu.make_async_copy(
-                dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
-                sems.at[slot, 2],
-            ).wait()
+            if not owned:
+                pltpu.make_async_copy(
+                    dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
+                    sems.at[slot, 2],
+                ).wait()
 
         def write_dma(c, slot):
             s = (desc_ref[dlo + c] // LANE) * LANE
@@ -871,18 +878,24 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
                     preferred_element_type=jnp.float32,
                 )                                                # [1, D]
 
-                # ownership column mask in [BE, 1] orientation: an edge in
-                # this window is owned iff its dst row lives in this tile
-                # (windows of one tile never overlap, so owned edges are
-                # written exactly once; foreign lanes keep the old value)
-                own_col = jax.lax.dot_general(
-                    ohf, jnp.ones((BN, 1), dtype=jnp.float32),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                # [BE, 1]
-                dmsgs_out_vmem[slot] = jnp.where(
-                    own_col > 0.0, new_dmsgs, dmsgs_old[slot]
-                )
+                if owned:
+                    # fully-owned window: every lane is this tile's edge or
+                    # a sentinel (new_dmsgs == 0 there via the one-hot)
+                    dmsgs_out_vmem[slot] = new_dmsgs
+                else:
+                    # ownership column mask in [BE, 1] orientation: an edge
+                    # in this window is owned iff its dst row lives in this
+                    # tile (windows of one tile never overlap, so owned
+                    # edges are written exactly once; foreign lanes keep
+                    # the old value)
+                    own_col = jax.lax.dot_general(
+                        ohf, jnp.ones((BN, 1), dtype=jnp.float32),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                            # [BE, 1]
+                    dmsgs_out_vmem[slot] = jnp.where(
+                        own_col > 0.0, new_dmsgs, dmsgs_old[slot]
+                    )
 
                 write_dma(c, slot).start()
                 return dadst_acc, datt_acc
@@ -915,11 +928,13 @@ def _make_bwd_kernel_chunked(negative_slope, temperature):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
+                     "owned"),
 )
 def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                              tile2rel, row_max, row_sum, out, g, n_rows,
-                             negative_slope, temperature, interpret=False):
+                             negative_slope, temperature, interpret=False,
+                             owned=False):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
@@ -951,17 +966,25 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
             pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-            pltpu.SemaphoreType.DMA((NBUF, 3)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                pltpu.SemaphoreType.DMA((NBUF, 2)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ] if owned else [
+                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                pltpu.SemaphoreType.DMA((NBUF, 3)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ]
+        ),
     )
     dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
-        _make_bwd_kernel_chunked(negative_slope, temperature),
+        _make_bwd_kernel_chunked(negative_slope, temperature, owned),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
@@ -979,17 +1002,19 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
 )
 def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
                             desc_off_np, tile2rel_np, n_rows, negative_slope,
-                            temperature, interpret=False):
+                            temperature, interpret=False, owned=False):
     """fused_gat_layer over a chunked (src-chunk-major) edge stream.
 
     msgs [E, D] in ChunkedStreamLayout order (the concat of per-chunk fast
     takes); dst_np/desc_np/desc_off_np from graph/merged_layout.py
     `build_chunked_stream`. Math identical to fused_gat_layer — only the
-    window addressing differs (see module comment above).
+    window addressing differs (see module comment above). owned=True
+    requires a fully-owned fragment-padded stream (fully_owned layouts)
+    and runs the zero-RMW backward kernel.
     """
     out, _, _ = _merged_forward_chunked(
         msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
@@ -1006,7 +1031,8 @@ def _nonempty_desc(desc_np):
 
 
 def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
-              tile2rel_np, n_rows, negative_slope, temperature, interpret):
+              tile2rel_np, n_rows, negative_slope, temperature, interpret,
+              owned):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
     out, row_max, row_sum = _merged_forward_chunked(
@@ -1019,13 +1045,13 @@ def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
 
 
 def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
-              negative_slope, temperature, interpret, residuals, g):
+              negative_slope, temperature, interpret, owned, residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
     dmsgs, dadst_tiles, datt_tiles = _merged_backward_chunked(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
-        negative_slope, temperature, interpret,
+        negative_slope, temperature, interpret, owned,
     )
     n_tiles = n_rows // BN
     d_a_dst = dadst_tiles[::8].reshape(n_rows)

@@ -74,7 +74,12 @@ def _check_bn_supported():
             RuntimeWarning,
             stacklevel=3,
         )
-BE = 512   # edges per inner chunk (multiple of LANE)
+# edges per inner chunk (multiple of LANE). 512 default; KGWAS_PALLAS_BE
+# sweeps window size (larger amortizes DMA issue, smaller cuts window
+# read-amplification on short fragments). Read once at import — layouts
+# (graph/merged_layout.py) key off it.
+BE = int(_os.environ.get("KGWAS_PALLAS_BE", "512"))
+assert BE % LANE == 0 and BE > 0, BE
 BR = BE // LANE
 NBUF = 2   # chunk DMA double buffering
 

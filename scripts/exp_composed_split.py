@@ -36,7 +36,8 @@ def main():
                           avg_degree=6, seed=0)
     cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
     for tag, extra in [
-        ("chunked", {}),
+        ("chunked-padded", {}),
+        ("chunked-rmw", {"pad_fragments": False}),
         ("plain", {"gather_chunk_rows": 0, "bwd_window_edges": 0}),
     ]:
         cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,

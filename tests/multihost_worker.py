@@ -16,6 +16,10 @@ import json
 import os
 import sys
 
+# spawned as `python tests/multihost_worker.py` -> sys.path[0] is tests/,
+# not the repo root; self-locate the package (no install, no PYTHONPATH)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     pid, nproc, port, outfile = (

@@ -90,13 +90,70 @@ def test_edge_cap_splits_dense_relations(world):
         assert np.array_equal(cover, np.arange(len(L.src)))
 
 
-def test_full_model_chunked_matches_xla(world):
+def test_padded_layout_invariants(world):
+    """fully_owned (fragment-padded, v3) stream: every real edge appears
+    exactly once, every window's lanes belong to its tile or are sentinels,
+    and the padded local perms stay block-diagonal."""
+    from kgwas_tpu.graph.merged_layout import build_chunked_stream
+
+    _, cg = world
+    for dst_t, L in cg.merged_layouts().items():
+        cs = build_chunked_stream(L, max_chunk_rows=512, pad_fragments=True)
+        assert cs.fully_owned
+        assert cs.num_real_edges == len(L.src)
+        ep = len(cs.src)
+        assert ep % BE == 0 or cs.n_chunks == 0
+        assert len(cs.dst) == ep
+        # real edges: multiset equality with the parent stream
+        real = cs.dst < L.n_rows_total
+        assert real.sum() == len(L.src)
+        pairs = np.stack([cs.src[real], cs.dst[real]], 1)
+        ref = np.stack([L.src, L.dst], 1)
+        o1 = np.lexsort(pairs.T)
+        o2 = np.lexsort(ref.T)
+        assert np.array_equal(pairs[o1], ref[o2]), dst_t
+        # windows: BE-aligned, fully owned, tile the whole padded stream
+        seen = np.zeros(ep, dtype=int)
+        for t in range(L.n_rows_total // 256):
+            for k in range(cs.desc_offsets[t], cs.desc_offsets[t + 1]):
+                s0 = int(cs.desc[k])
+                assert s0 % BE == 0
+                d = cs.dst[s0:s0 + BE]
+                assert ((d // 256 == t) | (d == L.n_rows_total)).all(), dst_t
+                seen[s0:s0 + BE] += 1
+        assert (seen == 1).all(), dst_t
+        # per-chunk perms: block-diagonal, real edges only, CSC-ordered
+        for c in range(cs.n_chunks):
+            lo, hi = int(cs.chunk_edge_base[c]), int(cs.chunk_edge_base[c + 1])
+            lp = cs.local_perm[c]
+            assert (lp >= 0).all() and (lp < hi - lo).all()
+            assert len(cs.local_ids[c]) == hi - lo
+        assert np.array_equal(cs.src[cs.csc_perm], L.csc_ids)
+
+
+def test_padded_chunk_cap_respects_padded_blocks(world):
+    """The edge cap is enforced on PADDED block lengths (they are the
+    backward cotangent tables)."""
+    from kgwas_tpu.graph.merged_layout import build_chunked_stream
+
+    _, cg = world
+    for dst_t, L in cg.merged_layouts().items():
+        cs = build_chunked_stream(L, max_chunk_rows=10 ** 9,
+                                  max_chunk_edges=2048, pad_fragments=True)
+        ec = np.diff(cs.chunk_edge_base)
+        rows = np.diff(cs.src_bounds)
+        assert ((ec <= 2048) | (rows <= 256)).all(), (dst_t, ec.max())
+
+
+@pytest.mark.parametrize("padded", [False, True])
+def test_full_model_chunked_matches_xla(world, padded):
     _, cg = world
     meta = cg.meta()
     n_real = cg.num_nodes["SNP"]
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2)
     cfg_c = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
-                        use_pallas=True, gather_chunk_rows=512)
+                        use_pallas=True, gather_chunk_rows=512,
+                        pad_fragments=padded)
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg_x, meta, 20, 32, 16)
     arrays = cg.arrays()
 
@@ -117,13 +174,15 @@ def test_full_model_chunked_matches_xla(world):
                                    rtol=5e-3, atol=1e-4)
 
 
-def test_full_model_chunked_multihead(world):
+@pytest.mark.parametrize("padded", [False, True])
+def test_full_model_chunked_multihead(world, padded):
     _, cg = world
     meta = cg.meta()
     n_real = cg.num_nodes["SNP"]
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2)
     cfg_c = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2,
-                        use_pallas=True, gather_chunk_rows=512)
+                        use_pallas=True, gather_chunk_rows=512,
+                        pad_fragments=padded)
     params = init_hetero_gnn(jax.random.PRNGKey(1), cfg_x, meta, 20, 32, 16)
     arrays = cg.arrays()
     out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
