@@ -54,8 +54,8 @@ class MergedDstLayout:
     edge_base: np.ndarray          # int32 [R + 1]
 
 
-@dataclass
-class ChunkedStreamLayout:
+@dataclass(eq=False)  # identity compare: instances are passed as static
+class ChunkedStreamLayout:     # args through custom-VJP boundaries
     """Source-chunked reordering of a MergedDstLayout's edge stream.
 
     XLA's TPU row-gather emitter is ~3.4 ns/row when the table operand is
@@ -437,6 +437,129 @@ def get_csc_windows(L: MergedDstLayout,
         cached = build_csc_windows(L, max_chunk_edges)
         L._csc_win = cached
         L._csc_win_edges = max_chunk_edges
+    return cached
+
+
+@dataclass(eq=False)
+class OwnedPlainLayout:
+    """Per-tile BE-padded PLAIN (dst-sorted) stream with split backward cuts.
+
+    For groups whose forward table is already fast (n_src_total <=
+    EMITTER_FAST_ROWS) but whose [E, D] backward cotangent table is slow
+    (E > EMITTER_FAST_ROWS) — "SNP-shaped". Padding each dst tile's
+    contiguous edge range to a BE multiple (sentinel dst = n_rows_total)
+    makes every BE window fully owned by its tile, expressed as per-tile
+    window descriptors consumable by the SAME owned/split chunked kernels
+    (ops/pallas_gat_layer.py). The backward then emits dmsgs as one buffer
+    per `cut_bases` block (uniform EMITTER_FAST_ROWS cuts, BE multiples so
+    windows never straddle); the cotangent takes ride the fast emitter and
+    a fragment-windowed segment-sum (segment_sum_windows) reduces the
+    cut-grouped CSC stream over the src space.
+    """
+
+    src: np.ndarray            # int32 [Ep] padded stream src (sentinel 0)
+    dst: np.ndarray            # int32 [Ep] padded stream dst
+    desc: np.ndarray           # int32 [ND] layer-kernel window starts
+    desc_offsets: np.ndarray   # int32 [n_tiles+1]
+    cut_bases: np.ndarray      # int64 [K+1] backward buffer cuts
+    local_perm: List[np.ndarray]  # per cut: buffer-local CSC take indices
+    sum_ids: np.ndarray        # int32 [E] src ids, cut-grouped order
+    sum_desc: np.ndarray       # int32 segsum window starts (grouped stream)
+    sum_desc_offsets: np.ndarray  # int32 [n_src_tiles+1]
+    num_real_edges: int
+    read_amp: float            # padded stream rows / real rows
+    sum_read_amp: float        # segsum window rows / real rows
+
+
+def build_owned_plain_stream(L: MergedDstLayout,
+                             split_edges: int = EMITTER_FAST_ROWS,
+                             be: int = None, lane: int = 128,
+                             tile_rows: int = None) -> OwnedPlainLayout:
+    if be is None:
+        from ..ops.pallas_segment import BE as be
+    if tile_rows is None:
+        from ..ops.pallas_segment import BN as tile_rows
+    n_tiles = L.n_rows_total // tile_rows
+    ro = np.asarray(L.row_offsets, dtype=np.int64)
+    tb = ro[::tile_rows]                             # [n_tiles+1] tile cuts
+    assert len(tb) == n_tiles + 1 and tb[-1] == ro[-1]
+    e_tot = int(tb[-1])
+
+    frag = np.diff(tb)
+    pfrag = -(-frag // be) * be
+    pgo = np.zeros_like(tb)
+    np.cumsum(pfrag, out=pgo[1:])
+    ep = int(pgo[-1])
+    grp_of_j = np.repeat(np.arange(n_tiles), frag)
+    pos_map = (np.arange(e_tot, dtype=np.int64)
+               - tb[grp_of_j] + pgo[grp_of_j])       # old pos -> padded pos
+    src_p = np.zeros(ep, dtype=np.int64)             # sentinel: row 0
+    dst_p = np.full(ep, L.n_rows_total, dtype=np.int64)
+    src_p[pos_map] = L.src
+    dst_p[pos_map] = L.dst
+
+    # layer-kernel windows: consecutive BE windows tiling each padded range
+    nw = pfrag // be
+    cum = np.zeros(n_tiles + 1, dtype=np.int64)
+    np.cumsum(nw, out=cum[1:])
+    intra = (np.arange(int(cum[-1]), dtype=np.int64)
+             - np.repeat(cum[:-1], nw))
+    desc = np.repeat(pgo[:-1], nw) + intra * be
+
+    # backward cuts: uniform BE-multiple blocks over the padded stream
+    step = max(be, (split_edges // be) * be)
+    bases = np.append(np.arange(0, max(ep, 1), step, dtype=np.int64),
+                      np.int64(ep))
+    bases = np.unique(bases)
+    K = len(bases) - 1
+
+    # cut-grouped CSC consume: group src-sorted padded positions by cut
+    csc_pad = pos_map[np.asarray(L.csc_perm, dtype=np.int64)]
+    cut_of = (np.searchsorted(bases, csc_pad, side="right") - 1)
+    grp = np.argsort(cut_of, kind="stable")
+    sum_ids = np.asarray(L.csc_ids)[grp].astype(np.int32)
+    perm_g = csc_pad[grp]
+    counts = np.bincount(cut_of, minlength=K)
+    ceb = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(counts, out=ceb[1:])
+    local_perm = [
+        (perm_g[ceb[k]:ceb[k + 1]] - bases[k]).astype(np.int32)
+        for k in range(K)
+    ]
+    n_src_tiles = L.n_src_total // tile_rows
+    group = cut_of[grp] * n_src_tiles + (sum_ids.astype(np.int64)
+                                         // tile_rows)
+    counts2 = np.bincount(group, minlength=K * n_src_tiles)
+    go = np.zeros(K * n_src_tiles + 1, dtype=np.int64)
+    np.cumsum(counts2, out=go[1:])
+    sdesc, soff = _build_windows(go, K, n_src_tiles, be, lane)
+
+    er = max(e_tot, 1)
+    return OwnedPlainLayout(
+        src=src_p.astype(np.int32),
+        dst=dst_p.astype(np.int32),
+        desc=desc.astype(np.int32),
+        desc_offsets=cum.astype(np.int32),
+        cut_bases=bases,
+        local_perm=local_perm,
+        sum_ids=sum_ids,
+        sum_desc=sdesc.astype(np.int32),
+        sum_desc_offsets=soff.astype(np.int32),
+        num_real_edges=e_tot,
+        read_amp=float(ep) / er,
+        sum_read_amp=float(len(sdesc) * be) / er,
+    )
+
+
+def get_owned_plain_stream(L: MergedDstLayout,
+                           split_edges: int = EMITTER_FAST_ROWS
+                           ) -> OwnedPlainLayout:
+    """Cached accessor: builds the owned plain stream once per layout."""
+    cached = getattr(L, "_owned_plain", None)
+    if cached is None or getattr(L, "_owned_plain_edges", None) != split_edges:
+        cached = build_owned_plain_stream(L, split_edges)
+        L._owned_plain = cached
+        L._owned_plain_edges = split_edges
     return cached
 
 

@@ -254,8 +254,12 @@ def apply_merged_gat_layer(
     import jax as _jax
 
     from ..graph.merged_layout import (EMITTER_FAST_ROWS, get_chunked_stream,
-                                       get_csc_windows)
-    from ..ops.pallas_gat_layer import fused_gat_layer, fused_gat_layer_chunked
+                                       get_csc_windows,
+                                       get_owned_plain_stream)
+    from ..ops.pallas_gat_layer import (fused_gat_layer,
+                                        fused_gat_layer_chunked,
+                                        fused_gat_layer_gathered,
+                                        fused_gat_layer_plain_gathered)
     from ..ops.pallas_segment import (gather_rows_csc, gather_rows_chunked,
                                       gather_rows_csc_win)
 
@@ -294,6 +298,16 @@ def apply_merged_gat_layer(
             wl = get_csc_windows(L, win_edges)
             if wl.read_amp > 1.5:
                 wl = None
+        # owned plain stream (v3 split backward) for SNP-shaped groups:
+        # forward table fast, E-row cotangent table slow. Padding cost
+        # guard mirrors the wl one.
+        pl_lay = None
+        if (cs is None and wl is None and merged_kernel_fns is None
+                and pad_frags and chunk_rows > 0
+                and len(L.src) > EMITTER_FAST_ROWS):
+            pl_lay = get_owned_plain_stream(L)
+            if pl_lay.read_amp > 1.5 or pl_lay.sum_read_amp > 1.5:
+                pl_lay = None
         # multi-head runs one fused-layer kernel per head over the same
         # merged layout (heads are independent softmaxes; PyG concats them,
         # reference conv.py:122-131). Per-head slices of lin_src keep each
@@ -339,18 +353,31 @@ def apply_merged_gat_layer(
                         @ _w_src(slot)
                     )
                 out_dtype = tabs[0].dtype
-                msgs = gather_rows_chunked(
-                    tuple(tabs), tuple(cs.local_ids), tuple(cs.local_perm),
-                    tuple(int(b) for b in cs.chunk_edge_base),
-                    L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
-                )
-                out_all = fused_gat_layer_chunked(
-                    msgs, att.astype(jnp.float32),
-                    a_dst_all.astype(jnp.float32),
-                    cs.dst, cs.desc, cs.desc_offsets, L.tile2rel,
-                    L.n_rows_total, cfg.negative_slope, cfg.temperature,
-                    interpret, cs.fully_owned,
-                )
+                if cs.fully_owned:
+                    # one fused custom-VJP op: gather + layer; backward
+                    # emits SEPARATE per-chunk cotangent buffers so the CSC
+                    # takes ride the fast gather emitter
+                    out_all = fused_gat_layer_gathered(
+                        tuple(tabs), att.astype(jnp.float32),
+                        a_dst_all.astype(jnp.float32), cs,
+                        (L.csc_ids, L.csc_offsets, L.n_src_total,
+                         L.n_rows_total, L.tile2rel),
+                        cfg.negative_slope, cfg.temperature, interpret,
+                    )
+                else:
+                    msgs = gather_rows_chunked(
+                        tuple(tabs), tuple(cs.local_ids),
+                        tuple(cs.local_perm),
+                        tuple(int(b) for b in cs.chunk_edge_base),
+                        L.csc_ids, L.csc_offsets, L.n_src_total, interpret,
+                    )
+                    out_all = fused_gat_layer_chunked(
+                        msgs, att.astype(jnp.float32),
+                        a_dst_all.astype(jnp.float32),
+                        cs.dst, cs.desc, cs.desc_offsets, L.tile2rel,
+                        L.n_rows_total, cfg.negative_slope, cfg.temperature,
+                        interpret, cs.fully_owned,
+                    )
             else:
                 xs_all = jnp.concatenate(
                     [h[L.src_types[s]] @ _w_src(s)
@@ -360,6 +387,13 @@ def apply_merged_gat_layer(
                     out_all = merged_kernel_fns[dst_t](
                         xs_all, att.astype(jnp.float32),
                         a_dst_all.astype(jnp.float32),
+                    )
+                elif pl_lay is not None:
+                    out_all = fused_gat_layer_plain_gathered(
+                        xs_all, att.astype(jnp.float32),
+                        a_dst_all.astype(jnp.float32), pl_lay,
+                        (L.n_src_total, L.n_rows_total, L.tile2rel),
+                        cfg.negative_slope, cfg.temperature, interpret,
                     )
                 else:
                     if wl is not None:

@@ -27,6 +27,7 @@ merges in the backward.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -181,10 +182,21 @@ def _make_fwd_kernel(negative_slope, temperature):
     return kernel
 
 
-def _pad_edge_stream(msgs, dst, n_rows):
+def _pad_edge_stream(msgs, dst, n_rows, pre_padded=False):
+    # pre_padded: fully-owned (v3) streams are BE-multiples and their
+    # windows never overrun — skip the pad, which XLA materializes as a
+    # full [E, D] copy EVERY kernel call (~2.8 ms/call at bench scale,
+    # scripts/exp_trace_step.py)
+    if pre_padded:
+        assert msgs.shape[0] % BE == 0 and msgs.shape[0] == dst.shape[0]
+        return msgs, dst.reshape(-1, LANE)
     e = msgs.shape[0]
     e_pad = ((e + BE - 1) // BE) * BE + BE
     pad = e_pad - e
+    if os.environ.get("KGWAS_TRACE_PADS"):
+        import traceback
+        print(f"[pad_edge_stream] E={e} pad={pad} caller="
+              f"{traceback.extract_stack()[-2].name}", flush=True)
     msgs = jnp.pad(msgs, ((0, pad), (0, 0)))
     dst = jnp.pad(dst, ((0, pad),), constant_values=n_rows)
     return msgs, dst.reshape(-1, LANE)
@@ -695,14 +707,15 @@ def _make_fwd_kernel_chunked(negative_slope, temperature):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
+                     "pre_padded"),
 )
 def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                             tile2rel, n_rows, negative_slope, temperature,
-                            interpret=False):
+                            interpret=False, pre_padded=False):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
-    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -742,11 +755,23 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
     return out, row_max, row_sum
 
 
-def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
+def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
+                             split_bases=None):
     """owned=True consumes a fully-owned (fragment-padded, v3) stream:
     every window's lanes belong to this tile or are sentinels, so dmsgs
     windows are written blind — no read-modify-write stream, no ownership
-    select (graph/merged_layout.ChunkedStreamLayout.fully_owned)."""
+    select (graph/merged_layout.ChunkedStreamLayout.fully_owned).
+
+    split_bases (requires owned): static padded chunk-block boundaries;
+    dmsgs is emitted as len(split_bases)-1 SEPARATE per-chunk HBM buffers
+    instead of one [E_pad, D] array. Window starts are BE-aligned and the
+    bases are BE multiples, so no window straddles a cut; the write target
+    is branch-selected per window. Separate buffers keep the downstream
+    per-chunk cotangent takes on XLA's fast small-table gather emitter —
+    slices of one big buffer get re-fused into big-table gathers
+    (benchmarks/RESULTS.md, fragment-windowed negative result)."""
+    n_split = 0 if split_bases is None else len(split_bases) - 1
+
     def kernel(
         doff_ref,
         desc_ref,
@@ -759,11 +784,17 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
         rsum_ref,         # [8, BN] block
         out_ref,          # [BN, D] block (primal out)
         g_ref,            # [BN, D] block (cotangent)
-        dmsgs_ref,        # [E_pad, D] HBM out
-        dadst_ref,        # [8, BN] block out
-        datt_ref,         # [8, D] block out
-        *scratch,
+        *rest,            # dmsgs out ref(s), dadst, datt, scratch
     ):
+        if split_bases is None:
+            dmsgs_ref, dadst_ref, datt_ref = rest[:3]
+            dmsgs_refs = None
+            scratch = rest[3:]
+        else:
+            dmsgs_refs = rest[:n_split]
+            dadst_ref, datt_ref = rest[n_split:n_split + 2]
+            dmsgs_ref = None
+            scratch = rest[n_split + 2:]
         if owned:
             msgs_vmem, dst_vmem, dmsgs_out_vmem, sems, wsems = scratch
             dmsgs_old = None
@@ -806,12 +837,25 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
                     sems.at[slot, 2],
                 ).wait()
 
-        def write_dma(c, slot):
+        def _write_op(c, slot, op):
             s = (desc_ref[dlo + c] // LANE) * LANE
-            return pltpu.make_async_copy(
-                dmsgs_out_vmem.at[slot], dmsgs_ref.at[pl.ds(s, BE), :],
-                wsems.at[slot],
-            )
+            if split_bases is None:
+                dma = pltpu.make_async_copy(
+                    dmsgs_out_vmem.at[slot], dmsgs_ref.at[pl.ds(s, BE), :],
+                    wsems.at[slot],
+                )
+                dma.start() if op == "start" else dma.wait()
+                return
+            for k in range(n_split):
+                @pl.when(jnp.logical_and(s >= split_bases[k],
+                                         s < split_bases[k + 1]))
+                def _(k=k):
+                    dma = pltpu.make_async_copy(
+                        dmsgs_out_vmem.at[slot],
+                        dmsgs_refs[k].at[pl.ds(s - split_bases[k], BE), :],
+                        wsems.at[slot],
+                    )
+                    dma.start() if op == "start" else dma.wait()
 
         @pl.when(nchunks > 0)
         def _nonempty():
@@ -829,7 +873,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
 
                 @pl.when(c >= NBUF)
                 def _():
-                    write_dma(c - NBUF, slot).wait()
+                    _write_op(c - NBUF, slot, "wait")
 
                 onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
                 ohf = onehot_t.astype(jnp.float32)
@@ -897,7 +941,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
                         own_col > 0.0, new_dmsgs, dmsgs_old[slot]
                     )
 
-                write_dma(c, slot).start()
+                _write_op(c, slot, "start")
                 return dadst_acc, datt_acc
 
             dadst_acc, datt_acc = jax.lax.fori_loop(
@@ -912,7 +956,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False):
 
                 @pl.when(cc >= 0)
                 def _(cc=cc):
-                    write_dma(cc, jax.lax.rem(cc, NBUF)).wait()
+                    _write_op(cc, jax.lax.rem(cc, NBUF), "wait")
             dadst_ref[0:1, :] = dadst_acc[None, :]
             datt_ref[0:1, :] = datt_acc
 
@@ -937,7 +981,9 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                              owned=False):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
-    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
+    # owned (fully fragment-padded) streams are exact BE multiples whose
+    # windows tile the stream — skip the [E, D] pad copy
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded=owned)
     e_pad = msgs_p.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1020,7 +1066,7 @@ def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
         msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
         jnp.asarray(dst_np), jnp.asarray(desc_off_np),
         jnp.asarray(_nonempty_desc(desc_np)), jnp.asarray(tile2rel_np),
-        n_rows, negative_slope, temperature, interpret,
+        n_rows, negative_slope, temperature, interpret, pre_padded=owned,
     )
     return out
 
@@ -1039,7 +1085,7 @@ def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
         jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
-        interpret,
+        interpret, pre_padded=owned,
     )
     return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
@@ -1062,6 +1108,270 @@ def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
 
 
 fused_gat_layer_chunked.defvjp(_fglc_fwd, _fglc_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
+                     "split_bases"),
+)
+def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
+                                   desc, tile2rel, row_max, row_sum, out, g,
+                                   n_rows, negative_slope, temperature,
+                                   split_bases, interpret=False):
+    """_merged_backward_chunked (owned) emitting dmsgs as one SEPARATE HBM
+    buffer per padded chunk block (split_bases: static BE-multiple cuts) —
+    see _make_bwd_kernel_chunked. Empty blocks get a never-written BE-row
+    placeholder (Mosaic rejects zero-row outputs)."""
+    d = msgs.shape[1]
+    n_tiles = n_rows // BN
+    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded=True)
+    n_split = len(split_bases) - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * n_split
+            + [
+                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    res = pl.pallas_call(
+        _make_bwd_kernel_chunked(negative_slope, temperature, owned=True,
+                                 split_bases=split_bases),
+        grid_spec=grid_spec,
+        out_shape=(
+            [
+                jax.ShapeDtypeStruct(
+                    (max(split_bases[k + 1] - split_bases[k], BE), d),
+                    msgs.dtype,
+                )
+                for k in range(n_split)
+            ]
+            + [
+                jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles * 8, d), jnp.float32),
+            ]
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        desc_offsets, desc, tile2rel, msgs_p, dst_p, att8, adst_tiles,
+        row_max, row_sum, out, g,
+    )
+    return tuple(res[:n_split]), res[n_split], res[n_split + 1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
+                             temperature, interpret=False):
+    """Gather + fused GAT layer in ONE custom-VJP op over a fully-owned
+    chunked stream (graph/merged_layout.ChunkedStreamLayout,
+    pad_fragments=True).
+
+    tabs: tuple of per-chunk projected-feature tables (relation-aligned
+    slices, <= EMITTER_FAST_ROWS rows each). Forward = per-chunk fast takes
+    (output IS the padded stream) + the chunked fused layer kernel.
+    Backward = the split-output layer kernel (one dmsgs buffer per padded
+    chunk block) -> per-chunk fast-emitter takes to CSC order -> one Pallas
+    segment-sum over the concat src space -> per-table grads. Fusing the
+    two ops keeps the per-chunk buffers SEPARATE across the VJP boundary —
+    as two ops, the cotangent would round-trip through one concatenated
+    [E, D] array, whose slices XLA re-fuses into big-table gathers.
+
+    aux: (csc_ids_np, csc_offsets_np, n_src_total, n_rows) from the parent
+    MergedDstLayout. Replaces reference torch_scatter/torch_sparse use in
+    kgwas/conv.py:227-228.
+    """
+    msgs = _take_tabs(tabs, cs)
+    out, _, _ = _merged_forward_chunked(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[3]),
+        jnp.asarray(cs.dst), jnp.asarray(cs.desc_offsets),
+        jnp.asarray(_nonempty_desc(cs.desc)), jnp.asarray(_aux_t2r(aux)),
+        aux[3], negative_slope, temperature, interpret, pre_padded=True,
+    )
+    return out
+
+
+def _take_tabs(tabs, cs):
+    parts = [jnp.take(t, jnp.asarray(ids), axis=0)
+             for t, ids in zip(tabs, cs.local_ids)]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _aux_t2r(aux):
+    return aux[4]
+
+
+def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
+              interpret):
+    msgs = _take_tabs(tabs, cs)
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, aux[3])
+    out, row_max, row_sum = _merged_forward_chunked(
+        msgs, att8, adst_tiles, jnp.asarray(cs.dst),
+        jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
+        jnp.asarray(_aux_t2r(aux)), aux[3], negative_slope, temperature,
+        interpret, pre_padded=True,
+    )
+    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0],
+                 tuple(t.shape[0] for t in tabs))
+
+
+def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
+    from .pallas_segment import pallas_segment_sum
+
+    (msgs, att8, adst_tiles, row_max, row_sum, out, n_rel,
+     tab_rows) = residuals
+    csc_ids_np, csc_offsets_np, n_src_total, n_rows, tile2rel_np = aux
+    split_bases = tuple(int(b) for b in cs.chunk_edge_base)
+    bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
+        msgs, att8, adst_tiles, jnp.asarray(cs.dst),
+        jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
+        jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
+        negative_slope, temperature, split_bases, interpret,
+    )
+    # per-chunk cotangent takes: table = this chunk's OWN buffer (fast
+    # emitter); concat of the CSC-ordered slices = the full CSC stream
+    parts = [
+        jnp.take(bufs[c], jnp.asarray(cs.local_perm[c]), axis=0)
+        for c in range(cs.n_chunks) if len(cs.local_perm[c])
+    ]
+    if parts:
+        g_sorted = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                    else parts[0])
+        dx = pallas_segment_sum(
+            g_sorted, jnp.asarray(csc_ids_np), jnp.asarray(csc_offsets_np),
+            n_src_total, interpret,
+        )
+    else:
+        dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)
+    dtabs, o = [], 0
+    for r in tab_rows:
+        dtabs.append(dx[o:o + r])
+        o += r
+
+    n_tiles = n_rows // BN
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
+    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
+    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    return tuple(dtabs), d_att, d_a_dst
+
+
+fused_gat_layer_gathered.defvjp(_fglg_fwd, _fglg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
+                                   negative_slope, temperature,
+                                   interpret=False):
+    """Gather + fused GAT layer in ONE custom-VJP op over an owned PLAIN
+    stream (graph/merged_layout.OwnedPlainLayout) — for groups whose
+    forward table xs_all is already fast (n_src_total <= EMITTER_FAST_ROWS)
+    but whose [E, D] cotangent table is slow (E > EMITTER_FAST_ROWS;
+    "SNP-shaped": small src space, huge edge count).
+
+    Forward: one fast take over the per-tile BE-padded stream + the
+    chunked-kernel forward (per-tile window descriptors). Backward: the
+    split-output owned kernel emits one dmsgs buffer per uniform
+    EMITTER_FAST_ROWS cut; per-cut fast-emitter takes to the cut-grouped
+    CSC order; segment_sum_windows reduces over the src space. Supersedes
+    the fragment-windowed opt-in (cfg.bwd_window_edges), whose takes XLA
+    re-fused into big-table gathers — separate pallas output buffers are
+    immune. Replaces reference torch_scatter use (kgwas/conv.py:227-228).
+
+    aux: (n_src_total, n_rows, tile2rel_np).
+    """
+    msgs = jnp.take(xs_all, jnp.asarray(lay.src), axis=0)
+    out, _, _ = _merged_forward_chunked(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[1]),
+        jnp.asarray(lay.dst), jnp.asarray(lay.desc_offsets),
+        jnp.asarray(_nonempty_desc(lay.desc)), jnp.asarray(aux[2]),
+        aux[1], negative_slope, temperature, interpret, pre_padded=True,
+    )
+    return out
+
+
+def _fglpg_fwd(xs_all, att, a_dst_all, lay, aux, negative_slope, temperature,
+               interpret):
+    msgs = jnp.take(xs_all, jnp.asarray(lay.src), axis=0)
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, aux[1])
+    out, row_max, row_sum = _merged_forward_chunked(
+        msgs, att8, adst_tiles, jnp.asarray(lay.dst),
+        jnp.asarray(lay.desc_offsets), jnp.asarray(_nonempty_desc(lay.desc)),
+        jnp.asarray(aux[2]), aux[1], negative_slope, temperature, interpret,
+        pre_padded=True,
+    )
+    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+
+
+def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, residuals,
+               g):
+    from .pallas_segment import segment_sum_windows
+
+    msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
+    n_src_total, n_rows, tile2rel_np = aux
+    split_bases = tuple(int(b) for b in lay.cut_bases)
+    bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
+        msgs, att8, adst_tiles, jnp.asarray(lay.dst),
+        jnp.asarray(lay.desc_offsets), jnp.asarray(_nonempty_desc(lay.desc)),
+        jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
+        negative_slope, temperature, split_bases, interpret,
+    )
+    parts = [
+        jnp.take(bufs[k], jnp.asarray(lay.local_perm[k]), axis=0)
+        for k in range(len(bufs)) if len(lay.local_perm[k])
+    ]
+    if parts:
+        gc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        dx = segment_sum_windows(
+            gc, jnp.asarray(lay.sum_ids),
+            jnp.asarray(lay.sum_desc if len(lay.sum_desc)
+                        else np.zeros(1, np.int32)),
+            jnp.asarray(lay.sum_desc_offsets), n_src_total, interpret,
+        )
+    else:
+        dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)
+
+    n_tiles = n_rows // BN
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
+    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
+    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    return dx, d_att, d_a_dst
+
+
+fused_gat_layer_plain_gathered.defvjp(_fglpg_fwd, _fglpg_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

@@ -1,0 +1,93 @@
+"""Op-level profile of the composed train step at bench scale.
+
+Composed-step A/Bs have stopped resolving (~139 ms regardless of backward
+kernel changes), so this captures a jax.profiler trace of a few steps and
+aggregates device-lane op durations to show where the time actually goes.
+
+Run: python scripts/exp_trace_step.py  (TPU)
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.engine.loop import build_optimizer, make_train_step
+from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.models import init_hetero_gnn
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    g = make_synthetic_kg(n_snp=200_000, n_gene=20_000, n_go=12_000,
+                          snp_dim=20, gene_dim=128, go_dim=128,
+                          avg_degree=6, seed=0)
+    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+    extra = {}
+    for kv in sys.argv[1:]:
+        k, v = kv.split("=")
+        extra[k] = json.loads(v)
+    cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                      matmul_precision="highest", use_pallas=True, **extra)
+    meta = cg.meta()
+    params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
+    arrays = jax.device_put(cg.arrays())
+    rng = np.random.default_rng(0)
+    n_pad = cg.padded_nodes["SNP"]
+    y = jnp.asarray(rng.random(n_pad, dtype=np.float32))
+    w = jnp.ones(n_pad, jnp.float32)
+    bidx = jnp.asarray(rng.integers(0, cg.num_nodes["SNP"], 512), jnp.int32)
+
+    optimizer = build_optimizer(1e-4, 5e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(cfg, meta, optimizer)
+    p, o = params, opt_state
+    for _ in range(3):  # compile + warm
+        p, o, loss = train_step(p, o, arrays, bidx, y, w)
+    jax.block_until_ready(loss)
+
+    log_dir = "/tmp/kgwas_trace"
+    os.system(f"rm -rf {log_dir}")
+    jax.profiler.start_trace(log_dir)
+    for _ in range(3):
+        p, o, loss = train_step(p, o, arrays, bidx, y, w)
+    jax.block_until_ready(loss)
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True)
+    print("trace files:", files, flush=True)
+    if not files:
+        print("NO TRACE PRODUCED")
+        return
+    with gzip.open(files[0], "rt") as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    # device lanes: pick pids whose process name mentions TPU/device
+    pid_names = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower()}
+    print("processes:", pid_names, flush=True)
+    agg = {}
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            name = e.get("name", "?")
+            agg[name] = agg.get(name, 0.0) + e.get("dur", 0)
+    total = sum(agg.values())
+    print(f"total device time: {total/1e3/3:.2f} ms/step over 3 steps")
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{dur/1e3/3:9.3f} ms/step  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,65 @@ def test_full_model_chunked_multihead(world, padded):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_owned_plain_gathered_matches_plain(world):
+    """fused_gat_layer_plain_gathered (per-tile BE-padded stream, split
+    backward buffers, windowed segsum) == gather_rows_csc + fused_gat_layer
+    on forward AND all input grads. split_edges forced small so multiple
+    backward buffers engage."""
+    from kgwas_tpu.graph.merged_layout import build_owned_plain_stream
+    from kgwas_tpu.ops.pallas_gat_layer import (fused_gat_layer,
+                                                fused_gat_layer_plain_gathered)
+    from kgwas_tpu.ops.pallas_segment import gather_rows_csc
+
+    _, cg = world
+    rng = np.random.default_rng(3)
+    for dst_t, L in cg.merged_layouts().items():
+        lay = build_owned_plain_stream(L, split_edges=2048)
+        # layout invariants: real edges preserved, windows fully owned
+        real = lay.dst < L.n_rows_total
+        assert real.sum() == len(L.src) == lay.num_real_edges
+        assert (np.diff(lay.cut_bases) <= 2048).all()
+        assert (lay.cut_bases % BE == 0).all()
+        seen = np.zeros(len(lay.src), dtype=int)
+        for t in range(L.n_rows_total // 256):
+            for k in range(lay.desc_offsets[t], lay.desc_offsets[t + 1]):
+                s0 = int(lay.desc[k])
+                assert s0 % BE == 0
+                d = lay.dst[s0:s0 + BE]
+                assert ((d // 256 == t) | (d == L.n_rows_total)).all()
+                seen[s0:s0 + BE] += 1
+        assert (seen == 1).all(), dst_t
+
+        R = len(L.rel_keys)
+        xs = jnp.asarray(rng.standard_normal((L.n_src_total, 128)),
+                         jnp.float32)
+        att = jnp.asarray(rng.standard_normal((R, 128)), jnp.float32)
+        adst = jnp.asarray(rng.standard_normal(L.n_rows_total), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((L.n_rows_total, 128)),
+                        jnp.float32)
+
+        def f_ref(xs, att, adst):
+            msgs = gather_rows_csc(xs, jnp.asarray(L.src), L.csc_perm,
+                                   L.csc_ids, L.csc_offsets, L.n_src_total,
+                                   True)
+            out = fused_gat_layer(msgs, att, adst, L.dst, L.row_offsets,
+                                  L.tile2rel, L.n_rows_total, 0.2, 1.0, True)
+            return jnp.sum(out * w)
+
+        def f_new(xs, att, adst):
+            out = fused_gat_layer_plain_gathered(
+                xs, att, adst, lay,
+                (L.n_src_total, L.n_rows_total, L.tile2rel), 0.2, 1.0, True)
+            return jnp.sum(out * w)
+
+        v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(xs, att, adst)
+        v_n, g_n = jax.value_and_grad(f_new, argnums=(0, 1, 2))(xs, att, adst)
+        np.testing.assert_allclose(float(v_n), float(v_r), rtol=1e-5)
+        for a, b in zip(g_n, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_chunk_gate_small_graph_stays_unchunked(world):
     """Default gate: graphs whose concat src space fits the fast emitter
     keep the plain merged stream (no chunking work)."""
