@@ -1259,18 +1259,25 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
         negative_slope, temperature, split_bases, interpret,
     )
+    from .pallas_segment import pad_stream_ids_np, padded_stream_len
+
     # per-chunk cotangent takes: table = this chunk's OWN buffer (fast
-    # emitter); concat of the CSC-ordered slices = the full CSC stream
+    # emitter); concat of the CSC-ordered slices = the full CSC stream.
+    # Zeros pad part rides the concat (sentinel ids mask it), so the
+    # segment-sum skips its full-stream pad copy.
     parts = [
         jnp.take(bufs[c], jnp.asarray(cs.local_perm[c]), axis=0)
         for c in range(cs.n_chunks) if len(cs.local_perm[c])
     ]
     if parts:
-        g_sorted = (jnp.concatenate(parts, axis=0) if len(parts) > 1
-                    else parts[0])
+        e = sum(len(p) for p in cs.local_perm)
+        parts.append(jnp.zeros((padded_stream_len(e) - e, msgs.shape[1]),
+                               parts[0].dtype))
+        g_sorted = jnp.concatenate(parts, axis=0)
         dx = pallas_segment_sum(
-            g_sorted, jnp.asarray(csc_ids_np), jnp.asarray(csc_offsets_np),
-            n_src_total, interpret,
+            g_sorted, jnp.asarray(pad_stream_ids_np(csc_ids_np, n_src_total)),
+            jnp.asarray(csc_offsets_np), n_src_total, interpret,
+            pre_padded=True,
         )
     else:
         dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)
@@ -1348,17 +1355,23 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, residuals,
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
         negative_slope, temperature, split_bases, interpret,
     )
+    from .pallas_segment import pad_stream_ids_np, padded_stream_len
+
     parts = [
         jnp.take(bufs[k], jnp.asarray(lay.local_perm[k]), axis=0)
         for k in range(len(bufs)) if len(lay.local_perm[k])
     ]
     if parts:
-        gc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        e = sum(len(p) for p in lay.local_perm)
+        parts.append(jnp.zeros((padded_stream_len(e) - e, msgs.shape[1]),
+                               parts[0].dtype))
+        gc = jnp.concatenate(parts, axis=0)
         dx = segment_sum_windows(
-            gc, jnp.asarray(lay.sum_ids),
+            gc, jnp.asarray(pad_stream_ids_np(lay.sum_ids, n_src_total)),
             jnp.asarray(lay.sum_desc if len(lay.sum_desc)
                         else np.zeros(1, np.int32)),
             jnp.asarray(lay.sum_desc_offsets), n_src_total, interpret,
+            pre_padded=True,
         )
     else:
         dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)

@@ -629,14 +629,38 @@ def _segsum_kernel(
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
-def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False):
+def padded_stream_len(e: int) -> int:
+    """Kernel stream length for e rows: BE roundup + one BE overread guard
+    (chunk DMAs start LANE-aligned, so the last window can overrun the
+    roundup by up to BE - LANE rows)."""
+    return ((e + BE - 1) // BE) * BE + BE
+
+
+def pad_stream_ids_np(ids_np, n_rows: int) -> np.ndarray:
+    """Host-side ids pad to padded_stream_len (sentinel n_rows: outside
+    every tile's row range, masked by the kernels' one-hot)."""
+    ids_np = np.asarray(ids_np)
+    out = np.full(padded_stream_len(len(ids_np)), n_rows, np.int32)
+    out[: len(ids_np)] = ids_np
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "interpret", "pre_padded"))
+def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False,
+                       pre_padded=False):
     """out[r] = sum_{e: ids[e]=r} vals[e]; ids ascending, n_rows % 256 == 0,
-    D % 128 == 0."""
+    D % 128 == 0. pre_padded: vals/ids already padded_stream_len long
+    (sentinel ids = n_rows) — skips the [E, D] pad copy."""
     _check_bn_supported()
     d = vals.shape[1]
     n_tiles = n_rows // BN
-    vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)
+    if pre_padded:
+        assert vals.shape[0] % BE == 0 and vals.shape[0] == ids.shape[0]
+        vals_p, ids_p = vals, ids.reshape(-1, LANE)
+    else:
+        vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids,
+                                      n_rows)
     tile_starts = jnp.concatenate(
         [row_offsets[::BN], row_offsets[-1:]]
     )
@@ -746,19 +770,26 @@ def _segsum_win_kernel(
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "interpret", "pre_padded"))
 def segment_sum_windows(vals, ids, desc, desc_offsets, n_rows,
-                        interpret=False):
+                        interpret=False, pre_padded=False):
     """out[r] = sum_{e: ids[e]=r} vals[e] over a fragment-windowed stream.
 
     vals/ids in graph/merged_layout.CscWindowLayout grouped order; desc /
     desc_offsets its per-src-tile window descriptors. Every stream position
     is covered by exactly one window of its own tile; window overreads hit
-    foreign-tile rows, which the one-hot zeroes. n_rows % BN == 0."""
+    foreign-tile rows, which the one-hot zeroes. n_rows % BN == 0.
+    pre_padded: as in pallas_segment_sum."""
     _check_bn_supported()
     d = vals.shape[1]
     n_tiles = n_rows // BN
-    vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids, n_rows)
+    if pre_padded:
+        assert vals.shape[0] % BE == 0 and vals.shape[0] == ids.shape[0]
+        vals_p, ids_p = vals, ids.reshape(-1, LANE)
+    else:
+        vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids,
+                                      n_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -811,14 +842,17 @@ def _grcw_bwd(edge_bounds_np, local_perm_np, ids_np, desc_np, desc_off_np,
         jnp.take(g[eb[c]:eb[c + 1]], jnp.asarray(local_perm_np[c]), axis=0)
         for c in range(len(local_perm_np))
     ]
-    gc = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    e = sum(len(p) for p in local_perm_np)
+    parts.append(jnp.zeros((padded_stream_len(e) - e, g.shape[1]), g.dtype))
+    gc = jnp.concatenate(parts, axis=0)
     dx = segment_sum_windows(
         gc,
-        jnp.asarray(ids_np),
+        jnp.asarray(pad_stream_ids_np(ids_np, n_src_rows)),
         jnp.asarray(desc_np if len(desc_np) else np.zeros(1, np.int32)),
         jnp.asarray(desc_off_np),
         n_src_rows,
         interpret,
+        pre_padded=True,
     )
     return dx, None
 
@@ -872,13 +906,20 @@ def _grc_fwd(x, idx, csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows,
 
 def _grc_bwd(csc_perm_np, csc_ids_np, csc_offsets_np, n_src_rows, interpret,
              _res, g):
-    g_sorted = jnp.take(g, jnp.asarray(csc_perm_np), axis=0)
+    # pad the STATIC perm so the take itself emits the kernel's padded
+    # stream (pad rows reread g[0]; sentinel ids mask them) — avoids a
+    # separate full-stream pad copy
+    perm = np.asarray(csc_perm_np)
+    perm_p = np.zeros(padded_stream_len(len(perm)), np.int32)
+    perm_p[: len(perm)] = perm
+    g_sorted = jnp.take(g, jnp.asarray(perm_p), axis=0)
     dx = pallas_segment_sum(
         g_sorted,
-        jnp.asarray(csc_ids_np),
+        jnp.asarray(pad_stream_ids_np(csc_ids_np, n_src_rows)),
         jnp.asarray(csc_offsets_np),
         n_src_rows,
         interpret,
+        pre_padded=True,
     )
     return dx, None
 
@@ -926,14 +967,17 @@ def _grch_bwd(local_ids_np, local_perm_np, chunk_edge_base_np, csc_ids_np,
         jnp.take(g[ceb[c]:ceb[c + 1]], jnp.asarray(local_perm_np[c]), axis=0)
         for c in range(len(local_perm_np))
     ]
-    g_sorted = (jnp.concatenate(parts, axis=0) if len(parts) > 1
-                else parts[0])
+    # zeros pad part rides the existing concat pass (sentinel ids mask it)
+    e = sum(len(p) for p in local_perm_np)
+    parts.append(jnp.zeros((padded_stream_len(e) - e, g.shape[1]), g.dtype))
+    g_sorted = jnp.concatenate(parts, axis=0)
     dx = pallas_segment_sum(
         g_sorted,
-        jnp.asarray(csc_ids_np),
+        jnp.asarray(pad_stream_ids_np(csc_ids_np, n_src_rows)),
         jnp.asarray(csc_offsets_np),
         n_src_rows,
         interpret,
+        pre_padded=True,
     )
     outs, o = [], 0
     for r in tab_rows:
