@@ -41,6 +41,7 @@ from .pallas_segment import (
     BR,
     EPS,
     EXP_CLAMP,
+    KERNEL_PRECISION,
     LANE,
     NBUF,
     NEG_BIG,
@@ -80,11 +81,13 @@ def _logits_row(msgs_block, att_ref, a_dst_row, onehot_t, negative_slope,
         att_ref[0:1, :].astype(msgs_block.dtype), msgs_block,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=KERNEL_PRECISION,
     )                                                       # [1, BE]
     a_dst_e = jax.lax.dot_general(
         a_dst_row, onehot_t.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=KERNEL_PRECISION,
     )                                                       # [1, BE]
     z = a_src_row + a_dst_e
     l = jnp.where(z >= 0, z, negative_slope * z)
@@ -158,6 +161,7 @@ def _make_fwd_kernel(negative_slope, temperature):
                     w.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )
                 return acc, row_sum, m_new
 
@@ -375,6 +379,7 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                     g_ref[:, :].astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )                                                # [BN, BE]
                 dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
                                  keepdims=True)                  # [1, BE]
@@ -387,10 +392,12 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                     w, g_ref[:, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 ) + jax.lax.dot_general(
                     dz_row, att_row,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )).astype(dmsgs_out_vmem.dtype)                  # [BE, D]
 
                 # d_a_dst[n] += sum_e onehot * dz
@@ -402,6 +409,7 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                     dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )                                                # [1, D]
 
                 # keep previous values ONLY for lanes owned by a NEIGHBORING
@@ -607,42 +615,70 @@ def _tile_starts_np(row_offsets_np):
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel_chunked(negative_slope, temperature):
+def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
+    """split_bases: static padded chunk-block boundaries — msgs arrives as
+    len(split_bases)-1 SEPARATE per-chunk HBM buffers (the per-chunk
+    fast-emitter takes, never concatenated); the DMA source is
+    branch-selected per window. Desc windows are BE-aligned and the bases
+    are BE multiples, so no window straddles a cut."""
+    n_split = 0 if split_bases is None else len(split_bases) - 1
+
     def kernel(
         doff_ref,         # prefetch: per-tile desc ranges [n_tiles+1]
         desc_ref,         # prefetch: window start positions [ND]
         t2r_ref,          # prefetch: tile -> relation slot
-        msgs_ref,         # [E_pad, D] HBM
-        dst_ref,          # [E_pad/LANE, LANE] HBM
-        att_ref,          # [8, D] VMEM block
-        adst_ref,         # [8, BN] VMEM block
-        out_ref,          # [BN, D] VMEM block
-        max_ref,          # [8, BN]
-        sum_ref,          # [8, BN]
-        msgs_vmem,
-        dst_vmem,
-        sems,
+        *rest,            # msgs ref(s), dst, att, adst, outs, scratch
     ):
+        if split_bases is None:
+            (msgs_ref, dst_ref, att_ref, adst_ref, out_ref, max_ref,
+             sum_ref, msgs_vmem, dst_vmem, sems) = rest
+            msgs_refs = None
+        else:
+            msgs_refs = rest[:n_split]
+            (dst_ref, att_ref, adst_ref, out_ref, max_ref, sum_ref,
+             msgs_vmem, dst_vmem, sems) = rest[n_split:]
+            msgs_ref = None
         i = pl.program_id(0)
         dlo = doff_ref[i]
         nchunks = doff_ref[i + 1] - dlo
         row_base = i * BN
         a_dst_row = adst_ref[0:1, :]
 
-        def start_chunk(c, slot):
+        def _msgs_op(s, slot, op):
+            if split_bases is None:
+                dma = pltpu.make_async_copy(
+                    msgs_ref.at[pl.ds(s, BE), :], msgs_vmem.at[slot],
+                    sems.at[slot, 0],
+                )
+                dma.start() if op == "start" else dma.wait()
+                return
+            for k in range(n_split):
+                @pl.when(jnp.logical_and(s >= split_bases[k],
+                                         s < split_bases[k + 1]))
+                def _(k=k):
+                    dma = pltpu.make_async_copy(
+                        msgs_refs[k].at[pl.ds(s - split_bases[k], BE), :],
+                        msgs_vmem.at[slot], sems.at[slot, 0],
+                    )
+                    dma.start() if op == "start" else dma.wait()
+
+        def _chunk_op(c, slot, op):
             # (s // LANE) * LANE is a numeric no-op (desc starts are
             # LANE-aligned by construction) but hands Mosaic the
             # divisibility proof its packed-dtype (bf16) HBM tiling needs
             s = (desc_ref[dlo + c] // LANE) * LANE
-            for dma in _edge_dmas_at(s, slot, msgs_ref,
-                                     msgs_vmem, dst_ref, dst_vmem, sems):
-                dma.start()
+            _msgs_op(s, slot, op)
+            dma = pltpu.make_async_copy(
+                dst_ref.at[pl.ds(s // LANE, BR), :], dst_vmem.at[slot],
+                sems.at[slot, 1],
+            )
+            dma.start() if op == "start" else dma.wait()
+
+        def start_chunk(c, slot):
+            _chunk_op(c, slot, "start")
 
         def wait_chunk(c, slot):
-            s = (desc_ref[dlo + c] // LANE) * LANE
-            for dma in _edge_dmas_at(s, slot, msgs_ref,
-                                     msgs_vmem, dst_ref, dst_vmem, sems):
-                dma.wait()
+            _chunk_op(c, slot, "wait")
 
         @pl.when(nchunks > 0)
         def _nonempty():
@@ -681,6 +717,7 @@ def _make_fwd_kernel_chunked(negative_slope, temperature):
                     w.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )
                 return acc, row_sum, m_new
 
@@ -708,26 +745,40 @@ def _make_fwd_kernel_chunked(negative_slope, temperature):
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "pre_padded"),
+                     "pre_padded", "split_bases"),
 )
 def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                             tile2rel, n_rows, negative_slope, temperature,
-                            interpret=False, pre_padded=False):
-    d = msgs.shape[1]
+                            interpret=False, pre_padded=False,
+                            split_bases=None):
+    """split_bases: msgs is a TUPLE of per-chunk-block buffers (see
+    _make_fwd_kernel_chunked); dst must already be the padded stream."""
+    if split_bases is None:
+        d = msgs.shape[1]
+        dtype = msgs.dtype
+        msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded)
+        msgs_args = (msgs_p,)
+    else:
+        d = msgs[0].shape[1]
+        dtype = msgs[0].dtype
+        assert dst.shape[0] % BE == 0
+        dst_p = dst.reshape(-1, LANE)
+        msgs_args = tuple(msgs)
     n_tiles = n_rows // BN
-    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * len(msgs_args)
+            + [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
         out_specs=[
             pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -737,13 +788,13 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BE, d), dtype),
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     out, row_max, row_sum = pl.pallas_call(
-        _make_fwd_kernel_chunked(negative_slope, temperature),
+        _make_fwd_kernel_chunked(negative_slope, temperature, split_bases),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
@@ -751,12 +802,12 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
             jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
         ],
         interpret=interpret,
-    )(desc_offsets, desc, tile2rel, msgs_p, dst_p, att8, adst_tiles)
+    )(desc_offsets, desc, tile2rel, *msgs_args, dst_p, att8, adst_tiles)
     return out, row_max, row_sum
 
 
 def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
-                             split_bases=None):
+                             split_bases=None, read_bases=None):
     """owned=True consumes a fully-owned (fragment-padded, v3) stream:
     every window's lanes belong to this tile or are sentinels, so dmsgs
     windows are written blind — no read-modify-write stream, no ownership
@@ -769,23 +820,31 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
     is branch-selected per window. Separate buffers keep the downstream
     per-chunk cotangent takes on XLA's fast small-table gather emitter —
     slices of one big buffer get re-fused into big-table gathers
-    (benchmarks/RESULTS.md, fragment-windowed negative result)."""
+    (benchmarks/RESULTS.md, fragment-windowed negative result).
+
+    read_bases (requires owned): msgs arrives as SEPARATE per-chunk-block
+    buffers too (the forward's never-concatenated takes); the read DMA
+    source is branch-selected per window like the write."""
     n_split = 0 if split_bases is None else len(split_bases) - 1
+    n_read = 0 if read_bases is None else len(read_bases) - 1
 
     def kernel(
         doff_ref,
         desc_ref,
         t2r_ref,
-        msgs_ref,         # [E_pad, D] HBM
-        dst_ref,          # [E_pad/LANE, LANE] HBM
-        att_ref,          # [8, D] block
-        adst_ref,         # [8, BN] block
-        rmax_ref,         # [8, BN] block
-        rsum_ref,         # [8, BN] block
-        out_ref,          # [BN, D] block (primal out)
-        g_ref,            # [BN, D] block (cotangent)
-        *rest,            # dmsgs out ref(s), dadst, datt, scratch
+        *rest,            # msgs ref(s), dst..g, dmsgs out ref(s), scratch
     ):
+        if read_bases is None:
+            msgs_ref = rest[0]
+            msgs_refs = None
+            rest = rest[1:]
+        else:
+            msgs_refs = rest[:n_read]
+            msgs_ref = None
+            rest = rest[n_read:]
+        (dst_ref, att_ref, adst_ref, rmax_ref, rsum_ref, out_ref,
+         g_ref) = rest[:7]
+        rest = rest[7:]
         if split_bases is None:
             dmsgs_ref, dadst_ref, datt_ref = rest[:3]
             dmsgs_refs = None
@@ -812,30 +871,47 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
         row_max_v = rmax_ref[0, :]
         inv_sum = 1.0 / (rsum_ref[0, :] + EPS)
 
-        def start_chunk(c, slot):
+        def _msgs_read_op(s, slot, op):
+            if read_bases is None:
+                dma = pltpu.make_async_copy(
+                    msgs_ref.at[pl.ds(s, BE), :], msgs_vmem.at[slot],
+                    sems.at[slot, 0],
+                )
+                dma.start() if op == "start" else dma.wait()
+                return
+            for k in range(n_read):
+                @pl.when(jnp.logical_and(s >= read_bases[k],
+                                         s < read_bases[k + 1]))
+                def _(k=k):
+                    dma = pltpu.make_async_copy(
+                        msgs_refs[k].at[pl.ds(s - read_bases[k], BE), :],
+                        msgs_vmem.at[slot], sems.at[slot, 0],
+                    )
+                    dma.start() if op == "start" else dma.wait()
+
+        def _read_op(c, slot, op):
             # LANE re-derivation gives Mosaic the divisibility proof for
             # packed-dtype HBM tilings (see _make_fwd_kernel_chunked)
             s = (desc_ref[dlo + c] // LANE) * LANE
-            for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
-                                     dst_ref, dst_vmem, sems):
-                dma.start()
+            _msgs_read_op(s, slot, op)
+            dma = pltpu.make_async_copy(
+                dst_ref.at[pl.ds(s // LANE, BR), :], dst_vmem.at[slot],
+                sems.at[slot, 1],
+            )
+            dma.start() if op == "start" else dma.wait()
             if not owned:
                 # windows interleave foreign fragments: always read-merge
-                pltpu.make_async_copy(
+                dma = pltpu.make_async_copy(
                     dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
                     sems.at[slot, 2],
-                ).start()
+                )
+                dma.start() if op == "start" else dma.wait()
+
+        def start_chunk(c, slot):
+            _read_op(c, slot, "start")
 
         def wait_chunk(c, slot):
-            s = (desc_ref[dlo + c] // LANE) * LANE
-            for dma in _edge_dmas_at(s, slot, msgs_ref, msgs_vmem,
-                                     dst_ref, dst_vmem, sems):
-                dma.wait()
-            if not owned:
-                pltpu.make_async_copy(
-                    dmsgs_ref.at[pl.ds(s, BE), :], dmsgs_old.at[slot],
-                    sems.at[slot, 2],
-                ).wait()
+            _read_op(c, slot, "wait")
 
         def _write_op(c, slot, op):
             s = (desc_ref[dlo + c] // LANE) * LANE
@@ -898,6 +974,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                     g_ref[:, :].astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )                                                # [BN, BE]
                 dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
                                  keepdims=True)                  # [1, BE]
@@ -909,10 +986,12 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                     w, g_ref[:, :],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 ) + jax.lax.dot_general(
                     dz_row, att_row,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )).astype(dmsgs_out_vmem.dtype)                  # [BE, D]
 
                 dadst_acc = dadst_acc + jnp.sum(ohf * dz_row, axis=1)
@@ -920,6 +999,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                     dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )                                                # [1, D]
 
                 if owned:
@@ -936,6 +1016,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                         ohf, jnp.ones((BN, 1), dtype=jnp.float32),
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
                     )                                            # [BE, 1]
                     dmsgs_out_vmem[slot] = jnp.where(
                         own_col > 0.0, new_dmsgs, dmsgs_old[slot]
@@ -1113,40 +1194,54 @@ fused_gat_layer_chunked.defvjp(_fglc_fwd, _fglc_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "split_bases"),
+                     "split_bases", "read_bases"),
 )
 def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
                                    desc, tile2rel, row_max, row_sum, out, g,
                                    n_rows, negative_slope, temperature,
-                                   split_bases, interpret=False):
+                                   split_bases, interpret=False,
+                                   read_bases=None):
     """_merged_backward_chunked (owned) emitting dmsgs as one SEPARATE HBM
     buffer per padded chunk block (split_bases: static BE-multiple cuts) —
     see _make_bwd_kernel_chunked. Empty blocks get a never-written BE-row
-    placeholder (Mosaic rejects zero-row outputs)."""
-    d = msgs.shape[1]
+    placeholder (Mosaic rejects zero-row outputs). read_bases: msgs is a
+    TUPLE of per-chunk-block buffers (the forward's never-concatenated
+    takes)."""
+    if read_bases is None:
+        d = msgs.shape[1]
+        dtype = msgs.dtype
+        msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded=True)
+        msgs_args = (msgs_p,)
+    else:
+        d = msgs[0].shape[1]
+        dtype = msgs[0].dtype
+        assert dst.shape[0] % BE == 0
+        dst_p = dst.reshape(-1, LANE)
+        msgs_args = tuple(msgs)
     n_tiles = n_rows // BN
-    msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows, pre_padded=True)
     n_split = len(split_bases) - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * len(msgs_args)
+            + [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
         out_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * n_split
             + [
@@ -1157,22 +1252,23 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
             ]
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BE, d), dtype),
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-            pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+            pltpu.VMEM((NBUF, BE, d), dtype),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     res = pl.pallas_call(
         _make_bwd_kernel_chunked(negative_slope, temperature, owned=True,
-                                 split_bases=split_bases),
+                                 split_bases=split_bases,
+                                 read_bases=read_bases),
         grid_spec=grid_spec,
         out_shape=(
             [
                 jax.ShapeDtypeStruct(
                     (max(split_bases[k + 1] - split_bases[k], BE), d),
-                    msgs.dtype,
+                    dtype,
                 )
                 for k in range(n_split)
             ]
@@ -1184,7 +1280,7 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        desc_offsets, desc, tile2rel, msgs_p, dst_p, att8, adst_tiles,
+        desc_offsets, desc, tile2rel, *msgs_args, dst_p, att8, adst_tiles,
         row_max, row_sum, out, g,
     )
     return tuple(res[:n_split]), res[n_split], res[n_split + 1]
@@ -1211,20 +1307,27 @@ def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
     MergedDstLayout. Replaces reference torch_scatter/torch_sparse use in
     kgwas/conv.py:227-228.
     """
-    msgs = _take_tabs(tabs, cs)
+    parts = _take_tab_parts(tabs, cs)
     out, _, _ = _merged_forward_chunked(
-        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[3]),
+        parts, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[3]),
         jnp.asarray(cs.dst), jnp.asarray(cs.desc_offsets),
         jnp.asarray(_nonempty_desc(cs.desc)), jnp.asarray(_aux_t2r(aux)),
-        aux[3], negative_slope, temperature, interpret, pre_padded=True,
+        aux[3], negative_slope, temperature, interpret,
+        split_bases=tuple(int(b) for b in cs.chunk_edge_base),
     )
     return out
 
 
-def _take_tabs(tabs, cs):
-    parts = [jnp.take(t, jnp.asarray(ids), axis=0)
-             for t, ids in zip(tabs, cs.local_ids)]
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+def _take_tab_parts(tabs, cs):
+    """Per-chunk fast takes, NEVER concatenated: the layer kernels read
+    them as separate HBM buffers (split_bases/read_bases), so no [E, D]
+    concat pass ever runs. Empty chunks get a never-read BE-row dummy
+    (Mosaic rejects zero-row operands)."""
+    return tuple(
+        jnp.take(t, jnp.asarray(ids), axis=0) if len(ids)
+        else jnp.zeros((BE, t.shape[1]), t.dtype)
+        for t, ids in zip(tabs, cs.local_ids)
+    )
 
 
 def _aux_t2r(aux):
@@ -1233,34 +1336,35 @@ def _aux_t2r(aux):
 
 def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
               interpret):
-    msgs = _take_tabs(tabs, cs)
+    parts = _take_tab_parts(tabs, cs)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[3])
     out, row_max, row_sum = _merged_forward_chunked(
-        msgs, att8, adst_tiles, jnp.asarray(cs.dst),
+        parts, att8, adst_tiles, jnp.asarray(cs.dst),
         jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
         jnp.asarray(_aux_t2r(aux)), aux[3], negative_slope, temperature,
-        interpret, pre_padded=True,
+        interpret, split_bases=tuple(int(b) for b in cs.chunk_edge_base),
     )
-    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0],
-                 tuple(t.shape[0] for t in tabs))
+    return out, (parts, att8, adst_tiles, row_max, row_sum, out,
+                 att.shape[0], tuple(t.shape[0] for t in tabs))
 
 
 def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
-    from .pallas_segment import pallas_segment_sum
+    from .pallas_segment import (pad_stream_ids_np, padded_stream_len,
+                                 pallas_segment_sum)
 
-    (msgs, att8, adst_tiles, row_max, row_sum, out, n_rel,
+    (msg_parts, att8, adst_tiles, row_max, row_sum, out, n_rel,
      tab_rows) = residuals
+    d = msg_parts[0].shape[1]
     csc_ids_np, csc_offsets_np, n_src_total, n_rows, tile2rel_np = aux
     split_bases = tuple(int(b) for b in cs.chunk_edge_base)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
-        msgs, att8, adst_tiles, jnp.asarray(cs.dst),
+        msg_parts, att8, adst_tiles, jnp.asarray(cs.dst),
         jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
         negative_slope, temperature, split_bases, interpret,
+        read_bases=split_bases,
     )
-    from .pallas_segment import pad_stream_ids_np, padded_stream_len
-
     # per-chunk cotangent takes: table = this chunk's OWN buffer (fast
     # emitter); concat of the CSC-ordered slices = the full CSC stream.
     # Zeros pad part rides the concat (sentinel ids mask it), so the
@@ -1271,7 +1375,7 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
     ]
     if parts:
         e = sum(len(p) for p in cs.local_perm)
-        parts.append(jnp.zeros((padded_stream_len(e) - e, msgs.shape[1]),
+        parts.append(jnp.zeros((padded_stream_len(e) - e, d),
                                parts[0].dtype))
         g_sorted = jnp.concatenate(parts, axis=0)
         dx = pallas_segment_sum(
@@ -1280,7 +1384,7 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
             pre_padded=True,
         )
     else:
-        dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)
+        dx = jnp.zeros((n_src_total, d), dtype=jnp.float32)
     dtabs, o = [], 0
     for r in tab_rows:
         dtabs.append(dx[o:o + r])

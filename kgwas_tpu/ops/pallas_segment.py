@@ -79,6 +79,20 @@ def _check_bn_supported():
 # read-amplification on short fragments). Read once at import — layouts
 # (graph/merged_layout.py) key off it.
 BE = int(_os.environ.get("KGWAS_PALLAS_BE", "512"))
+
+# MXU precision for the kernels' f32 dots. jax's global
+# default_matmul_precision leaks into pallas dot_generals at trace time:
+# "highest" (what parity-minded callers set globally) forces
+# #tpu.contract_precision<fp32> multi-pass emulation on every one-hot
+# aggregation (BN x D MACs/edge — the dominant kernel cost). Pinning
+# DEFAULT decouples the kernels from the global setting and lets Mosaic
+# pick its native f32 contract strategy. Mosaic lowers only
+# DEFAULT/HIGHEST (jax/_src/pallas/mosaic/lowering.py), so "high" is not
+# offered. Override with KGWAS_KERNEL_PRECISION=default|highest.
+KERNEL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("KGWAS_KERNEL_PRECISION", "default")]
 assert BE % LANE == 0 and BE > 0, BE
 BR = BE // LANE
 NBUF = 2   # chunk DMA double buffering
@@ -201,6 +215,7 @@ def _fwd_kernel(
                 w, msgs_vmem[slot],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=KERNEL_PRECISION,
             )
             return acc, row_sum, m_new
 
@@ -412,6 +427,7 @@ def _bwd_kernel(
                 w, g_ref[:, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=KERNEL_PRECISION,
             )                                                     # [BE, D]
             # d_logit[e] = p[e] * (msgs[e].g[dst[e]] - out[dst[e]].g[dst[e]])
             #            = sum_n w[n,e] * (M2[n,e] - dot_r[n])
@@ -419,6 +435,7 @@ def _bwd_kernel(
                 g_ref[:, :], msgs_vmem[slot],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=KERNEL_PRECISION,
             )                                                     # [BN, BE]
             dlog_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
                                keepdims=True)                     # [1, BE]
@@ -431,6 +448,7 @@ def _bwd_kernel(
                     ohf, jnp.ones((BN, 1), dtype=jnp.float32),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
                 )                                                 # [BE, 1]
                 dmsgs_out_vmem[slot] = jnp.where(
                     in_col > 0.5, new_dmsgs, dmsgs_old[slot]
@@ -616,6 +634,7 @@ def _segsum_kernel(
                 vals_vmem[slot],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=KERNEL_PRECISION,
             )
 
         acc = jax.lax.fori_loop(
@@ -757,6 +776,7 @@ def _segsum_win_kernel(
                 vals_vmem[slot],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=KERNEL_PRECISION,
             )
 
         acc = jax.lax.fori_loop(
