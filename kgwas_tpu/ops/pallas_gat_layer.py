@@ -45,6 +45,7 @@ from .pallas_segment import (
     LANE,
     NBUF,
     NEG_BIG,
+    _in_tile_row,
     _lane_concat,
     _onehot_t,
     _tile_range,
@@ -138,8 +139,9 @@ def _make_fwd_kernel(negative_slope, temperature):
 
                 wait_chunk(c, slot)
 
-                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
-                in_tile = onehot_t.any(axis=0, keepdims=True)
+                dst_row = _lane_concat(dst_vmem.at[slot])
+                onehot_t = _onehot_t(dst_row, row_base)
+                in_tile = _in_tile_row(dst_row, row_base)
                 _, l_row = _logits_row(
                     msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
                     negative_slope, temperature,
@@ -294,8 +296,9 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
         att_row = att_ref[0:1, :]
 
         dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
-        row_max_v = rmax_ref[0, :]
-        inv_sum = 1.0 / (rsum_ref[0, :] + EPS)
+        # per-row log-sum-exp: folds the row-max and 1/row-sum masked
+        # extracts (two O(BN*BE) passes per window) into ONE
+        lse_v = rmax_ref[0, :] + jnp.log(rsum_ref[0, :] + EPS)
 
         def is_boundary(c):
             s = start_al + c * BE
@@ -355,22 +358,19 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                 def _():
                     write_dma(c - NBUF, slot).wait()
 
-                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+                dst_row = _lane_concat(dst_vmem.at[slot])
+                onehot_t = _onehot_t(dst_row, row_base)
                 ohf = onehot_t.astype(jnp.float32)
-                in_tile = onehot_t.any(axis=0, keepdims=True)
+                in_tile = _in_tile_row(dst_row, row_base)
                 z, l_row = _logits_row(
                     msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
                     negative_slope, temperature,
                 )
-                m_e = jnp.max(
-                    jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
+                lse_e = jnp.max(
+                    jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
                     axis=0, keepdims=True,
                 )
-                inv_e = jnp.max(
-                    jnp.where(onehot_t, inv_sum[:, None], 0.0), axis=0,
-                    keepdims=True,
-                )
-                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP)) * inv_e
+                p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
                 p_row = jnp.where(in_tile, p_row, 0.0)
                 w = ohf * p_row                                  # [BN, BE]
 
@@ -400,10 +400,14 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                     precision=KERNEL_PRECISION,
                 )).astype(dmsgs_out_vmem.dtype)                  # [BE, D]
 
-                # d_a_dst[n] += sum_e onehot * dz
-                dadst_acc = dadst_acc + jnp.sum(
-                    ohf * dz_row, axis=1
-                )                                                # [BN]
+                # d_a_dst[n] += sum_e onehot * dz — as an MXU dot (BN x BE
+                # MACs) instead of an O(BN*BE) VPU multiply + reduce
+                dadst_acc = dadst_acc + jax.lax.dot_general(
+                    dz_row, ohf,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
+                )                                                # [1, BN]
                 # d_att += sum_e dz_e * msgs_e
                 datt_acc = datt_acc + jax.lax.dot_general(
                     dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
@@ -436,7 +440,7 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
             dadst_acc, datt_acc = jax.lax.fori_loop(
                 0, nchunks, body,
                 (
-                    jnp.zeros((BN,), dtype=jnp.float32),
+                    jnp.zeros((1, BN), dtype=jnp.float32),
                     jnp.zeros((1, att_ref.shape[1]), dtype=jnp.float32),
                 ),
             )
@@ -446,7 +450,7 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                 @pl.when(cc >= 0)
                 def _(cc=cc):
                     write_dma(cc, jax.lax.rem(cc, NBUF)).wait()
-            dadst_ref[0:1, :] = dadst_acc[None, :]
+            dadst_ref[0:1, :] = dadst_acc
             datt_ref[0:1, :] = datt_acc
 
         @pl.when(jnp.logical_not(run_tile))
@@ -694,8 +698,9 @@ def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
 
                 wait_chunk(c, slot)
 
-                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
-                in_tile = onehot_t.any(axis=0, keepdims=True)
+                dst_row = _lane_concat(dst_vmem.at[slot])
+                onehot_t = _onehot_t(dst_row, row_base)
+                in_tile = _in_tile_row(dst_row, row_base)
                 _, l_row = _logits_row(
                     msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
                     negative_slope, temperature,
@@ -868,8 +873,9 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
         att_row = att_ref[0:1, :]
 
         dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
-        row_max_v = rmax_ref[0, :]
-        inv_sum = 1.0 / (rsum_ref[0, :] + EPS)
+        # per-row log-sum-exp: folds the row-max and 1/row-sum masked
+        # extracts (two O(BN*BE) passes per window) into ONE
+        lse_v = rmax_ref[0, :] + jnp.log(rsum_ref[0, :] + EPS)
 
         def _msgs_read_op(s, slot, op):
             if read_bases is None:
@@ -951,22 +957,19 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                 def _():
                     _write_op(c - NBUF, slot, "wait")
 
-                onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+                dst_row = _lane_concat(dst_vmem.at[slot])
+                onehot_t = _onehot_t(dst_row, row_base)
                 ohf = onehot_t.astype(jnp.float32)
-                in_tile = onehot_t.any(axis=0, keepdims=True)
+                in_tile = _in_tile_row(dst_row, row_base)
                 z, l_row = _logits_row(
                     msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
                     negative_slope, temperature,
                 )
-                m_e = jnp.max(
-                    jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
+                lse_e = jnp.max(
+                    jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
                     axis=0, keepdims=True,
                 )
-                inv_e = jnp.max(
-                    jnp.where(onehot_t, inv_sum[:, None], 0.0), axis=0,
-                    keepdims=True,
-                )
-                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP)) * inv_e
+                p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
                 p_row = jnp.where(in_tile, p_row, 0.0)
                 w = ohf * p_row                                  # [BN, BE]
 
@@ -994,7 +997,12 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                     precision=KERNEL_PRECISION,
                 )).astype(dmsgs_out_vmem.dtype)                  # [BE, D]
 
-                dadst_acc = dadst_acc + jnp.sum(ohf * dz_row, axis=1)
+                dadst_acc = dadst_acc + jax.lax.dot_general(
+                    dz_row, ohf,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
+                )                                                # [1, BN]
                 datt_acc = datt_acc + jax.lax.dot_general(
                     dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -1028,7 +1036,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
             dadst_acc, datt_acc = jax.lax.fori_loop(
                 0, nchunks, body,
                 (
-                    jnp.zeros((BN,), dtype=jnp.float32),
+                    jnp.zeros((1, BN), dtype=jnp.float32),
                     jnp.zeros((1, att_ref.shape[1]), dtype=jnp.float32),
                 ),
             )
@@ -1038,7 +1046,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                 @pl.when(cc >= 0)
                 def _(cc=cc):
                     _write_op(cc, jax.lax.rem(cc, NBUF), "wait")
-            dadst_ref[0:1, :] = dadst_acc[None, :]
+            dadst_ref[0:1, :] = dadst_acc
             datt_ref[0:1, :] = datt_acc
 
         @pl.when(nchunks <= 0)

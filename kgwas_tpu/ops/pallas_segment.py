@@ -95,7 +95,9 @@ KERNEL_PRECISION = {
 }[_os.environ.get("KGWAS_KERNEL_PRECISION", "default")]
 assert BE % LANE == 0 and BE > 0, BE
 BR = BE // LANE
-NBUF = 2   # chunk DMA double buffering
+# chunk DMA buffering depth (2 = double buffering). KGWAS_PALLAS_NBUF=3
+# trades VMEM for deeper prefetch when windows are short.
+NBUF = int(_os.environ.get("KGWAS_PALLAS_NBUF", "2"))
 
 
 def _tile_range(off_ref, i):
@@ -124,6 +126,12 @@ def _onehot_t(dst_row, row_base):
     """Transposed one-hot [BN, BE]: onehotT[n, e] = dst[e] == row_base + n."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (BN, BE), 0) + row_base
     return rows == dst_row  # (1, BE) broadcasts against (BN, BE)
+
+
+def _in_tile_row(dst_row, row_base):
+    """[1, BE] mask: edge's dst row lives in this tile. O(BE) range compare
+    — replaces onehot_t.any(axis=0), an O(BN*BE) reduction."""
+    return jnp.logical_and(dst_row >= row_base, dst_row < row_base + BN)
 
 
 def _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem, ids_ref, ids_vmem,
@@ -195,9 +203,10 @@ def _fwd_kernel(
 
             wait_chunk(c, slot)
 
-            onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+            dst_row = _lane_concat(dst_vmem.at[slot])
+            onehot_t = _onehot_t(dst_row, row_base)
             l_row = _lane_concat(logits_vmem.at[slot])              # [1, BE]
-            in_tile = onehot_t.any(axis=0, keepdims=True)        # [1, BE]
+            in_tile = _in_tile_row(dst_row, row_base)            # [1, BE]
 
             m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
             m_new = jnp.maximum(m_old, m_chunk)                  # [BN]
@@ -327,8 +336,8 @@ def _bwd_kernel(
     row_base = i * BN
 
     dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)  # [BN]
-    row_max_v = rmax_ref[0, :]                            # [BN]
-    inv_sum = 1.0 / (rsum_ref[0, :] + EPS)                # [BN]
+    # per-row log-sum-exp: one masked extract per window instead of two
+    lse_v = rmax_ref[0, :] + jnp.log(rsum_ref[0, :] + EPS)  # [BN]
 
     def is_boundary(c):
         s = start_al + c * BE
@@ -408,17 +417,14 @@ def _bwd_kernel(
                 for wdma in write_dmas(c - NBUF, slot):
                     wdma.wait()
 
-            onehot_t = _onehot_t(_lane_concat(dst_vmem.at[slot]), row_base)
+            dst_row = _lane_concat(dst_vmem.at[slot])
+            onehot_t = _onehot_t(dst_row, row_base)
             ohf = onehot_t.astype(jnp.float32)
-            in_tile = onehot_t.any(axis=0, keepdims=True)        # [1, BE]
+            in_tile = _in_tile_row(dst_row, row_base)            # [1, BE]
             l_row = _lane_concat(logits_vmem.at[slot])              # [1, BE]
-            m_e = jnp.max(jnp.where(onehot_t, row_max_v[:, None], NEG_BIG),
-                          axis=0, keepdims=True)
-            inv_e = jnp.max(
-                jnp.where(onehot_t, inv_sum[:, None], 0.0), axis=0,
-                keepdims=True,
-            )                                                     # [1, BE]
-            p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP)) * inv_e
+            lse_e = jnp.max(jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
+                            axis=0, keepdims=True)
+            p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
             p_row = jnp.where(in_tile, p_row, 0.0)
             w = ohf * p_row                                       # [BN, BE]
 
