@@ -471,6 +471,103 @@ class OwnedPlainLayout:
     sum_read_amp: float        # segsum window rows / real rows
 
 
+@dataclass(eq=False)
+class SplitCscGroup:
+    """Cut-grouped CSC consume with PER-CUT padded blocks.
+
+    The per-cut cotangent takes stay SEPARATE buffers end-to-end — no
+    [E, D] concat pass ever materializes. ops/pallas_segment
+    .segment_sum_windows reads them via split_bases branch-selected DMA.
+    Each cut's block is padded to a BE multiple plus one BE slack window,
+    so a segsum window anchored near a block's end overreads into its OWN
+    buffer's sentinel slack, never into another cut's buffer. Within a
+    cut, rows are src-ascending, so each (cut, src_tile) group is a single
+    contiguous run — windows never need cross-fragment suppression.
+    """
+
+    local_perm: List[np.ndarray]   # per cut: PADDED buffer-local take idx
+    sum_ids: np.ndarray            # int32 [bases[-1]] padded grouped ids
+    sum_desc: np.ndarray           # int32 window starts (padded coords)
+    sum_desc_offsets: np.ndarray   # int32 [n_src_tiles+1]
+    sum_bases: tuple               # int [K+1] padded block bounds
+    sum_read_amp: float            # window rows / real rows
+
+
+def build_split_csc_group(ids_per_cut, perm_per_cut, n_src_rows: int,
+                          be: int, lane: int, tile_rows: int
+                          ) -> SplitCscGroup:
+    """ids_per_cut[k]: src ids of cut k's rows, ASCENDING; perm_per_cut[k]:
+    matching buffer-local take indices."""
+    K = len(ids_per_cut)
+    n_tiles = n_src_rows // tile_rows
+    counts = np.array([len(x) for x in ids_per_cut], dtype=np.int64)
+    P = -(-counts // be) * be + be                   # padded + BE slack
+    bases = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(P, out=bases[1:])
+
+    sum_ids = np.full(int(bases[-1]), n_src_rows, np.int32)
+    local_perm = []
+    for k in range(K):
+        sum_ids[bases[k]:bases[k] + counts[k]] = ids_per_cut[k]
+        pp = np.zeros(P[k], dtype=np.int32)
+        pp[: counts[k]] = perm_per_cut[k]
+        local_perm.append(pp)
+
+    # (cut, tile) group bounds in padded coordinates, then per-tile windows
+    starts = np.empty(K * n_tiles, dtype=np.int64)
+    ends = np.empty(K * n_tiles, dtype=np.int64)
+    for k in range(K):
+        ids_k = np.asarray(ids_per_cut[k], dtype=np.int64)
+        tb = np.searchsorted(ids_k, np.arange(n_tiles + 1) * tile_rows)
+        starts[k * n_tiles:(k + 1) * n_tiles] = bases[k] + tb[:-1]
+        ends[k * n_tiles:(k + 1) * n_tiles] = bases[k] + tb[1:]
+    s_al = (starts // lane) * lane
+    nw = np.where(ends > starts, -(-(ends - s_al) // be), 0)
+    # t-major ordering for per-tile desc ranges
+    nwf = nw.reshape(K, n_tiles).T.reshape(-1)
+    sf = s_al.reshape(K, n_tiles).T.reshape(-1)
+    total = int(nwf.sum())
+    cum = np.zeros(len(nwf) + 1, dtype=np.int64)
+    np.cumsum(nwf, out=cum[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nwf)
+    desc = np.repeat(sf, nwf) + intra * be
+    soff = np.zeros(n_tiles + 1, dtype=np.int64)
+    np.cumsum(nwf.reshape(n_tiles, K).sum(axis=1), out=soff[1:])
+
+    er = max(int(counts.sum()), 1)
+    return SplitCscGroup(
+        local_perm=local_perm,
+        sum_ids=sum_ids,
+        sum_desc=desc.astype(np.int32),
+        sum_desc_offsets=soff.astype(np.int32),
+        sum_bases=tuple(int(b) for b in bases),
+        sum_read_amp=float(total * be) / er,
+    )
+
+
+def get_chunked_split_group(cs, csc_ids_np, n_src_total: int
+                            ) -> SplitCscGroup:
+    """SplitCscGroup for a fully-owned ChunkedStreamLayout's backward:
+    cuts = source chunks (cs.local_perm is already buffer-local per
+    chunk), ids = the chunk's slice of the global CSC id stream (chunks
+    partition the src space contiguously, so chunk segments are
+    contiguous src-ascending runs of the CSC stream)."""
+    cached = getattr(cs, "_split_group", None)
+    if cached is None:
+        from ..ops.pallas_segment import BE, BN, LANE
+
+        csc_ids = np.asarray(csc_ids_np, dtype=np.int64)
+        cut = np.searchsorted(csc_ids,
+                              np.asarray(cs.src_bounds, dtype=np.int64))
+        ids_per_cut = [csc_ids[cut[k]:cut[k + 1]]
+                       for k in range(len(cut) - 1)]
+        cached = build_split_csc_group(
+            ids_per_cut, list(cs.local_perm), n_src_total, BE, LANE, BN,
+        )
+        cs._split_group = cached
+    return cached
+
+
 def build_owned_plain_stream(L: MergedDstLayout,
                              split_edges: int = EMITTER_FAST_ROWS,
                              be: int = None, lane: int = 128,
@@ -514,6 +611,7 @@ def build_owned_plain_stream(L: MergedDstLayout,
     K = len(bases) - 1
 
     # cut-grouped CSC consume: group src-sorted padded positions by cut
+    # (stable sort keeps src ascending within each cut)
     csc_pad = pos_map[np.asarray(L.csc_perm, dtype=np.int64)]
     cut_of = (np.searchsorted(bases, csc_pad, side="right") - 1)
     grp = np.argsort(cut_of, kind="stable")
@@ -549,6 +647,26 @@ def build_owned_plain_stream(L: MergedDstLayout,
         read_amp=float(ep) / er,
         sum_read_amp=float(len(sdesc) * be) / er,
     )
+
+
+def get_owned_split_group(lay: OwnedPlainLayout, n_src_total: int
+                          ) -> SplitCscGroup:
+    """Lazily-built SplitCscGroup for an OwnedPlainLayout (the opt-in
+    KGWAS_SPLIT_SEGSUM backward — see ops/pallas_gat_layer._fglpg_bwd)."""
+    cached = getattr(lay, "_split_cache", None)
+    if cached is None:
+        from ..ops.pallas_segment import BE, BN, LANE
+
+        counts = [len(p) for p in lay.local_perm]
+        ceb = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=ceb[1:])
+        ids_per_cut = [lay.sum_ids[ceb[k]:ceb[k + 1]]
+                       for k in range(len(counts))]
+        cached = build_split_csc_group(
+            ids_per_cut, list(lay.local_perm), n_src_total, BE, LANE, BN,
+        )
+        lay._split_cache = cached
+    return cached
 
 
 def get_owned_plain_stream(L: MergedDstLayout,

@@ -1358,12 +1358,11 @@ def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
 
 
 def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
-    from .pallas_segment import (pad_stream_ids_np, padded_stream_len,
-                                 pallas_segment_sum)
+    from ..graph.merged_layout import get_chunked_split_group
+    from .pallas_segment import segment_sum_windows
 
     (msg_parts, att8, adst_tiles, row_max, row_sum, out, n_rel,
      tab_rows) = residuals
-    d = msg_parts[0].shape[1]
     csc_ids_np, csc_offsets_np, n_src_total, n_rows, tile2rel_np = aux
     split_bases = tuple(int(b) for b in cs.chunk_edge_base)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
@@ -1373,26 +1372,49 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
         negative_slope, temperature, split_bases, interpret,
         read_bases=split_bases,
     )
-    # per-chunk cotangent takes: table = this chunk's OWN buffer (fast
-    # emitter); concat of the CSC-ordered slices = the full CSC stream.
-    # Zeros pad part rides the concat (sentinel ids mask it), so the
-    # segment-sum skips its full-stream pad copy.
-    parts = [
-        jnp.take(bufs[c], jnp.asarray(cs.local_perm[c]), axis=0)
-        for c in range(cs.n_chunks) if len(cs.local_perm[c])
-    ]
-    if parts:
-        e = sum(len(p) for p in cs.local_perm)
-        parts.append(jnp.zeros((padded_stream_len(e) - e, d),
-                               parts[0].dtype))
-        g_sorted = jnp.concatenate(parts, axis=0)
-        dx = pallas_segment_sum(
-            g_sorted, jnp.asarray(pad_stream_ids_np(csc_ids_np, n_src_total)),
-            jnp.asarray(csc_offsets_np), n_src_total, interpret,
-            pre_padded=True,
+    if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
+        # per-chunk cotangent takes stay SEPARATE into the split-input
+        # windowed segment-sum — no [E, D] concat pass. Measured ~2 ms/step
+        # SLOWER than concat+plain segsum at bench scale (the per-
+        # (chunk, src_tile) windows add read amplification the plain
+        # contiguous walk doesn't have) — kept as an opt-in experiment.
+        sg = get_chunked_split_group(cs, csc_ids_np, n_src_total)
+        parts = tuple(
+            jnp.take(bufs[c], jnp.asarray(sg.local_perm[c]), axis=0)
+            for c in range(cs.n_chunks)
+        )
+        dx = segment_sum_windows(
+            parts, jnp.asarray(sg.sum_ids),
+            jnp.asarray(sg.sum_desc if len(sg.sum_desc)
+                        else np.zeros(1, np.int32)),
+            jnp.asarray(sg.sum_desc_offsets), n_src_total, interpret,
+            split_bases=sg.sum_bases,
         )
     else:
-        dx = jnp.zeros((n_src_total, d), dtype=jnp.float32)
+        from .pallas_segment import (pad_stream_ids_np, padded_stream_len,
+                                     pallas_segment_sum)
+
+        # per-chunk cotangent takes (fast emitter) -> one CSC-ordered
+        # concat (+ zeros pad part riding the same pass) -> plain
+        # contiguous segment-sum over the src space
+        d = msg_parts[0].shape[1]
+        parts = [
+            jnp.take(bufs[c], jnp.asarray(cs.local_perm[c]), axis=0)
+            for c in range(cs.n_chunks) if len(cs.local_perm[c])
+        ]
+        if parts:
+            e = sum(len(p) for p in cs.local_perm)
+            parts.append(jnp.zeros((padded_stream_len(e) - e, d),
+                                   parts[0].dtype))
+            g_sorted = jnp.concatenate(parts, axis=0)
+            dx = pallas_segment_sum(
+                g_sorted,
+                jnp.asarray(pad_stream_ids_np(csc_ids_np, n_src_total)),
+                jnp.asarray(csc_offsets_np), n_src_total, interpret,
+                pre_padded=True,
+            )
+        else:
+            dx = jnp.zeros((n_src_total, d), dtype=jnp.float32)
     dtabs, o = [], 0
     for r in tab_rows:
         dtabs.append(dx[o:o + r])
@@ -1467,26 +1489,50 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, residuals,
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
         negative_slope, temperature, split_bases, interpret,
     )
-    from .pallas_segment import pad_stream_ids_np, padded_stream_len
+    if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
+        # per-cut cotangent takes stay SEPARATE into the split-input
+        # windowed segment-sum — no [E, D] concat pass. ~2 ms/step SLOWER
+        # at bench scale (K-way branch-selected DMA per window + padded
+        # per-cut blocks raise window read-amp) — opt-in experiment, see
+        # _fglg_bwd.
+        from ..graph.merged_layout import get_owned_split_group
 
-    parts = [
-        jnp.take(bufs[k], jnp.asarray(lay.local_perm[k]), axis=0)
-        for k in range(len(bufs)) if len(lay.local_perm[k])
-    ]
-    if parts:
-        e = sum(len(p) for p in lay.local_perm)
-        parts.append(jnp.zeros((padded_stream_len(e) - e, msgs.shape[1]),
-                               parts[0].dtype))
-        gc = jnp.concatenate(parts, axis=0)
+        sg = get_owned_split_group(lay, n_src_total)
+        parts = tuple(
+            jnp.take(bufs[k], jnp.asarray(sg.local_perm[k]), axis=0)
+            for k in range(len(bufs))
+        )
         dx = segment_sum_windows(
-            gc, jnp.asarray(pad_stream_ids_np(lay.sum_ids, n_src_total)),
-            jnp.asarray(lay.sum_desc if len(lay.sum_desc)
+            parts, jnp.asarray(sg.sum_ids),
+            jnp.asarray(sg.sum_desc if len(sg.sum_desc)
                         else np.zeros(1, np.int32)),
-            jnp.asarray(lay.sum_desc_offsets), n_src_total, interpret,
-            pre_padded=True,
+            jnp.asarray(sg.sum_desc_offsets), n_src_total, interpret,
+            split_bases=sg.sum_bases,
         )
     else:
-        dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)
+        from .pallas_segment import pad_stream_ids_np, padded_stream_len
+
+        # per-cut fast-emitter takes -> one cut-grouped concat (+ zeros
+        # pad part riding the same pass) -> windowed segment-sum
+        parts = [
+            jnp.take(bufs[k], jnp.asarray(lay.local_perm[k]), axis=0)
+            for k in range(len(bufs)) if len(lay.local_perm[k])
+        ]
+        if parts:
+            e = sum(len(p) for p in lay.local_perm)
+            parts.append(jnp.zeros((padded_stream_len(e) - e,
+                                    parts[0].shape[1]), parts[0].dtype))
+            gc = jnp.concatenate(parts, axis=0)
+            dx = segment_sum_windows(
+                gc, jnp.asarray(pad_stream_ids_np(lay.sum_ids, n_src_total)),
+                jnp.asarray(lay.sum_desc if len(lay.sum_desc)
+                            else np.zeros(1, np.int32)),
+                jnp.asarray(lay.sum_desc_offsets), n_src_total, interpret,
+                pre_padded=True,
+            )
+        else:
+            dx = jnp.zeros((n_src_total, msgs.shape[1]),
+                           dtype=jnp.float32)
 
     n_tiles = n_rows // BN
     d_a_dst = dadst_tiles[::8].reshape(n_rows)

@@ -729,117 +729,152 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False,
 # ---------------------------------------------------------------------------
 
 
-def _segsum_win_kernel(
-    doff_ref,         # scalar prefetch: per-src-tile desc ranges
-    desc_ref,         # scalar prefetch: window start positions
-    vals_ref,         # [E_pad, D] HBM (grouped order)
-    ids_ref,          # [E_pad/LANE, LANE] HBM (src ids, grouped order)
-    out_ref,          # [BN, D] VMEM block
-    vals_vmem,
-    ids_vmem,
-    sems,
-):
-    i = pl.program_id(0)
-    dlo = doff_ref[i]
-    nwin = doff_ref[i + 1] - dlo
-    row_base = i * BN
+def _make_segsum_win_kernel(split_bases=None):
+    """split_bases: vals arrives as len(split_bases)-1 SEPARATE per-cut
+    HBM buffers (graph/merged_layout.SplitCscGroup); the window's DMA
+    source is branch-selected. Each block carries a BE slack window, so
+    overreads stay inside the selected buffer."""
+    n_split = 0 if split_bases is None else len(split_bases) - 1
 
-    def win_dmas(c, slot):
-        # LANE re-derivation: numeric no-op, gives Mosaic the divisibility
-        # proof packed-dtype HBM tilings need for dynamic slices
-        s = (desc_ref[dlo + c] // LANE) * LANE
-        r = s // LANE
-        return [
-            pltpu.make_async_copy(
-                vals_ref.at[pl.ds(s, BE), :], vals_vmem.at[slot],
-                sems.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                ids_ref.at[pl.ds(r, BR), :], ids_vmem.at[slot],
+    def kernel(
+        doff_ref,         # scalar prefetch: per-src-tile desc ranges
+        desc_ref,         # scalar prefetch: window start positions
+        *rest,            # vals ref(s), ids ref, out, scratch
+    ):
+        if split_bases is None:
+            vals_ref = rest[0]
+            vals_refs = None
+            rest = rest[1:]
+        else:
+            vals_refs = rest[:n_split]
+            vals_ref = None
+            rest = rest[n_split:]
+        ids_ref, out_ref, vals_vmem, ids_vmem, sems = rest
+        i = pl.program_id(0)
+        dlo = doff_ref[i]
+        nwin = doff_ref[i + 1] - dlo
+        row_base = i * BN
+
+        def win_op(c, slot, op):
+            # LANE re-derivation: numeric no-op, gives Mosaic the
+            # divisibility proof packed-dtype HBM tilings need
+            s = (desc_ref[dlo + c] // LANE) * LANE
+            if split_bases is None:
+                dma = pltpu.make_async_copy(
+                    vals_ref.at[pl.ds(s, BE), :], vals_vmem.at[slot],
+                    sems.at[slot, 0],
+                )
+                dma.start() if op == "start" else dma.wait()
+            else:
+                for k in range(n_split):
+                    @pl.when(jnp.logical_and(s >= split_bases[k],
+                                             s < split_bases[k + 1]))
+                    def _(k=k):
+                        dma = pltpu.make_async_copy(
+                            vals_refs[k].at[pl.ds(s - split_bases[k], BE), :],
+                            vals_vmem.at[slot], sems.at[slot, 0],
+                        )
+                        dma.start() if op == "start" else dma.wait()
+            dma = pltpu.make_async_copy(
+                ids_ref.at[pl.ds(s // LANE, BR), :], ids_vmem.at[slot],
                 sems.at[slot, 1],
-            ),
-        ]
-
-    @pl.when(nwin > 0)
-    def _nonempty():
-        for dma in win_dmas(0, 0):
-            dma.start()
-
-        def body(c, acc):
-            slot = jax.lax.rem(c, NBUF)
-
-            @pl.when(c + 1 < nwin)
-            def _():
-                for dma in win_dmas(c + 1, jax.lax.rem(c + 1, NBUF)):
-                    dma.start()
-
-            for dma in win_dmas(c, slot):
-                dma.wait()
-            # one-hot masks rows of foreign tiles inside the window
-            onehot_t = _onehot_t(_lane_concat(ids_vmem.at[slot]), row_base)
-            return acc + jax.lax.dot_general(
-                onehot_t.astype(vals_vmem.dtype),
-                vals_vmem[slot],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=KERNEL_PRECISION,
             )
+            dma.start() if op == "start" else dma.wait()
 
-        acc = jax.lax.fori_loop(
-            0, nwin, body,
-            jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
-        )
-        out_ref[:, :] = acc
+        @pl.when(nwin > 0)
+        def _nonempty():
+            win_op(0, 0, "start")
 
-    @pl.when(nwin <= 0)
-    def _empty():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+            def body(c, acc):
+                slot = jax.lax.rem(c, NBUF)
+
+                @pl.when(c + 1 < nwin)
+                def _():
+                    win_op(c + 1, jax.lax.rem(c + 1, NBUF), "start")
+
+                win_op(c, slot, "wait")
+                # one-hot masks rows of foreign tiles inside the window
+                onehot_t = _onehot_t(_lane_concat(ids_vmem.at[slot]),
+                                     row_base)
+                return acc + jax.lax.dot_general(
+                    onehot_t.astype(vals_vmem.dtype),
+                    vals_vmem[slot],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=KERNEL_PRECISION,
+                )
+
+            acc = jax.lax.fori_loop(
+                0, nwin, body,
+                jnp.zeros((BN, out_ref.shape[1]), dtype=jnp.float32),
+            )
+            out_ref[:, :] = acc
+
+        @pl.when(nwin <= 0)
+        def _empty():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_rows", "interpret", "pre_padded"))
+                   static_argnames=("n_rows", "interpret", "pre_padded",
+                                    "split_bases"))
 def segment_sum_windows(vals, ids, desc, desc_offsets, n_rows,
-                        interpret=False, pre_padded=False):
+                        interpret=False, pre_padded=False,
+                        split_bases=None):
     """out[r] = sum_{e: ids[e]=r} vals[e] over a fragment-windowed stream.
 
     vals/ids in graph/merged_layout.CscWindowLayout grouped order; desc /
     desc_offsets its per-src-tile window descriptors. Every stream position
     is covered by exactly one window of its own tile; window overreads hit
     foreign-tile rows, which the one-hot zeroes. n_rows % BN == 0.
-    pre_padded: as in pallas_segment_sum."""
+    pre_padded: as in pallas_segment_sum. split_bases: vals is a TUPLE of
+    per-cut buffers (graph/merged_layout.SplitCscGroup) — the window DMA
+    source is branch-selected; no concat ever materializes."""
     _check_bn_supported()
-    d = vals.shape[1]
     n_tiles = n_rows // BN
-    if pre_padded:
+    if split_bases is not None:
+        d = vals[0].shape[1]
+        dtype = vals[0].dtype
+        assert ids.shape[0] == split_bases[-1]
+        vals_args = tuple(vals)
+        ids_p = ids.reshape(-1, LANE)
+    elif pre_padded:
+        d = vals.shape[1]
+        dtype = vals.dtype
         assert vals.shape[0] % BE == 0 and vals.shape[0] == ids.shape[0]
-        vals_p, ids_p = vals, ids.reshape(-1, LANE)
+        vals_args, ids_p = (vals,), ids.reshape(-1, LANE)
     else:
+        d = vals.shape[1]
+        dtype = vals.dtype
         vals_p, _, ids_p = _pad_edges(vals, jnp.zeros(vals.shape[0]), ids,
                                       n_rows)
+        vals_args = (vals_p,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * len(vals_args)
+            + [pl.BlockSpec(memory_space=pl.ANY)]
+        ),
         out_specs=[
             pl.BlockSpec((BN, d), lambda i, doff, dsc: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), vals.dtype),
+            pltpu.VMEM((NBUF, BE, d), dtype),
             pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     (out,) = pl.pallas_call(
-        _segsum_win_kernel,
+        _make_segsum_win_kernel(split_bases),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_rows, d), jnp.float32)],
         interpret=interpret,
-    )(desc_offsets, desc, vals_p, ids_p)
+    )(desc_offsets, desc, *vals_args, ids_p)
     return out
 
 
