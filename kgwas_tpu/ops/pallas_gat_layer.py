@@ -661,7 +661,7 @@ def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
                                          s < split_bases[k + 1]))
                 def _(k=k):
                     dma = pltpu.make_async_copy(
-                        msgs_refs[k].at[pl.ds(s - split_bases[k], BE), :],
+                        msgs_refs[k].at[pl.ds((s - split_bases[k]) // LANE * LANE, BE), :],
                         msgs_vmem.at[slot], sems.at[slot, 0],
                     )
                     dma.start() if op == "start" else dma.wait()
@@ -890,7 +890,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                                          s < read_bases[k + 1]))
                 def _(k=k):
                     dma = pltpu.make_async_copy(
-                        msgs_refs[k].at[pl.ds(s - read_bases[k], BE), :],
+                        msgs_refs[k].at[pl.ds((s - read_bases[k]) // LANE * LANE, BE), :],
                         msgs_vmem.at[slot], sems.at[slot, 0],
                     )
                     dma.start() if op == "start" else dma.wait()
@@ -934,7 +934,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                 def _(k=k):
                     dma = pltpu.make_async_copy(
                         dmsgs_out_vmem.at[slot],
-                        dmsgs_refs[k].at[pl.ds(s - split_bases[k], BE), :],
+                        dmsgs_refs[k].at[pl.ds((s - split_bases[k]) // LANE * LANE, BE), :],
                         wsems.at[slot],
                     )
                     dma.start() if op == "start" else dma.wait()

@@ -771,7 +771,7 @@ def _make_segsum_win_kernel(split_bases=None):
                                              s < split_bases[k + 1]))
                     def _(k=k):
                         dma = pltpu.make_async_copy(
-                            vals_refs[k].at[pl.ds(s - split_bases[k], BE), :],
+                            vals_refs[k].at[pl.ds((s - split_bases[k]) // LANE * LANE, BE), :],
                             vals_vmem.at[slot], sems.at[slot, 0],
                         )
                         dma.start() if op == "start" else dma.wait()
