@@ -45,6 +45,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    stream_dtype = os.environ.get("BENCH_STREAM_DTYPE") or None
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # src-chunked gather rows: unset -> ModelConfig default; 0 disables
     gather_chunk = os.environ.get("BENCH_GATHER_CHUNK")
@@ -69,6 +70,7 @@ def main():
         gnn_num_layers=layers,
         gnn_backbone="GAT",
         compute_dtype=dtype,
+        stream_dtype=stream_dtype,
         matmul_precision="default" if dtype == "bfloat16" else "highest",
         use_pallas=use_pallas,
         gather_chunk_rows=gather_chunk,

@@ -39,6 +39,19 @@ class ModelConfig:
     # TPU-specific knobs (new; not in reference)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # set "bfloat16" for MXU speed mode
+    stream_dtype: Optional[str] = None  # dtype of the [E, D] edge message
+                                     # STREAMS only (gather output + layer
+                                     # kernel DMA); "bfloat16" halves the
+                                     # dominant kernel DMA while params,
+                                     # activations, softmax state, and the
+                                     # optimizer stay f32 (78.6 vs 85.0
+                                     # ms/step on the v5e bench). OPT-IN:
+                                     # quality gate scored spearman 0.91 /
+                                     # top-50 overlap 0.92 vs f32 (bar:
+                                     # 0.95/0.9 — scripts/
+                                     # exp_stream_gate.py), so f32 stays
+                                     # the default. None = follow
+                                     # compute_dtype
     matmul_precision: str = "highest"  # "highest" for parity; "default" lets
                                        # the TPU MXU use fast bf16 passes
     remat: bool = False              # jax.checkpoint each conv layer

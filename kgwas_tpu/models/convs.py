@@ -119,12 +119,19 @@ def apply_gat(
     csc=None,
     num_src_segments: Optional[int] = None,
     edge_attr: Optional[jnp.ndarray] = None,
+    stream_dtype=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     H, C = heads, out_channels
     e_pad = src.shape[0]
     valid = edge_valid_mask(e_pad, num_real_edges)
 
     xs = x_src @ params["lin_src"]["w"]            # [Ns, H*C]
+    if stream_dtype is not None:
+        # message-stream rounding (ModelConfig.stream_dtype): the gathered
+        # [E, D] stream and the logits derived from it run at this dtype
+        # while activations/softmax state stay f32 — matches the merged
+        # Pallas path, which computes logits in-kernel from the stream
+        xs = xs.astype(jnp.dtype(stream_dtype))
     # homogeneous relations share lin_src for the dst projection (reference
     # conv.py:136-138 Tensor branch; see init_gat share_dst)
     wd = params["lin_dst"]["w"] if "lin_dst" in params else params["lin_src"]["w"]

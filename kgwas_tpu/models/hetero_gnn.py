@@ -150,6 +150,7 @@ def _apply_relation_conv(
             csc=csc,
             num_src_segments=ns,
             edge_attr=edges.get("edge_attr"),
+            stream_dtype=getattr(cfg, "stream_dtype", None),
         )
     if cfg.gnn_backbone == "SAGE":
         return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd), None
@@ -335,9 +336,13 @@ def apply_merged_gat_layer(
                 rp = layer_params[L.rel_keys[slot]]
                 return rp["lin_src"]["w"][:, hh * d:(hh + 1) * d]
 
-            # message stream stays in the compute dtype (bf16 halves edge DMA
-            # and doubles the MXU accumulation rate); per-row attention
-            # scalars and softmax state are always float32
+            # message stream dtype: compute dtype, or cfg.stream_dtype
+            # (bf16 streams halve the dominant [E, D] kernel DMA and run
+            # the one-hot aggregation dot at native bf16 MXU rate while
+            # params/activations/softmax state/optimizer stay f32);
+            # per-row attention scalars and softmax state always float32
+            sdt = (jnp.dtype(cfg.stream_dtype)
+                   if getattr(cfg, "stream_dtype", None) else None)
             if cs is not None:
                 # per-chunk tables: each chunk is a slice of exactly one
                 # relation's src block, so its table is one small matmul
@@ -353,6 +358,8 @@ def apply_merged_gat_layer(
                         @ _w_src(slot)
                     )
                 out_dtype = tabs[0].dtype
+                if sdt is not None:
+                    tabs = [t.astype(sdt) for t in tabs]
                 if cs.fully_owned:
                     # one fused custom-VJP op: gather + layer; backward
                     # emits SEPARATE per-chunk cotangent buffers so the CSC
@@ -383,6 +390,8 @@ def apply_merged_gat_layer(
                     [h[L.src_types[s]] @ _w_src(s)
                      for s in range(len(L.rel_keys))], axis=0)
                 out_dtype = xs_all.dtype
+                if sdt is not None:
+                    xs_all = xs_all.astype(sdt)
                 if merged_kernel_fns is not None:
                     out_all = merged_kernel_fns[dst_t](
                         xs_all, att.astype(jnp.float32),
