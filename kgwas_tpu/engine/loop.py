@@ -48,6 +48,43 @@ def make_train_step(
     return train_step
 
 
+def make_train_scan(cfg: ModelConfig, meta: dict, optimizer) -> Callable:
+    """Multi-step train dispatch: (params, opt_state, arrays, batch_mat
+    [S, B], y_node, w_node) -> (params, opt_state, losses [S]).
+
+    S optimizer steps run under ONE lax.scan inside one jit — a single
+    host dispatch per block instead of per step. Identical math to
+    make_train_step iterated S times (same jitted step body; scan just
+    removes the host round-trips between steps)."""
+
+    def loss_fn(params, arrays, batch_idx, y_node, w_node):
+        pred = apply_hetero_gnn(params, cfg, meta, arrays, training=True)
+        p = jnp.take(pred[:, 0], batch_idx, axis=0)
+        y = jnp.take(y_node, batch_idx, axis=0)
+        w = jnp.take(w_node, batch_idx, axis=0)
+        return jnp.mean(w * (p - y) ** 2)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_scan(params, opt_state, arrays, batch_mat, y_node, w_node):
+        def body(carry, bidx):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, arrays, bidx, y_node, w_node
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), batch_mat
+        )
+        return params, opt_state, losses
+
+    return train_scan
+
+
 def make_forward(cfg: ModelConfig, meta: dict) -> Callable:
     """Jitted full-graph forward returning per-SNP predictions [N_snp_pad].
     One call evaluates every SNP — replaces the reference's minibatch eval
