@@ -317,20 +317,22 @@ def apply_merged_gat_layer(
         bias_sum = None
         out_dtype = None
         for hh in range(H):
-            att_rows, adst_parts = [], []
+            att_rows, v_cols = [], []
             for slot, rk in enumerate(L.rel_keys):
                 rp = layer_params[rk]
                 att_rows.append(rp["att_src"][hh])
                 # a_dst = (h @ W_dst) . att_dst == h @ (W_dst @ att_dst):
                 # collapses the full dst projection into a matvec
                 wd = rp["lin_dst"]["w"] if "lin_dst" in rp else rp["lin_src"]["w"]
-                v = wd[:, hh * d:(hh + 1) * d] @ rp["att_dst"][hh]
-                adst_parts.append(h[dst_t] @ v)
+                v_cols.append(wd[:, hh * d:(hh + 1) * d] @ rp["att_dst"][hh])
                 if hh == 0:
                     b = rp["bias"]
                     bias_sum = b if bias_sum is None else bias_sum + b
             att = jnp.stack(att_rows, axis=0)
-            a_dst_all = jnp.concatenate(adst_parts, axis=0)
+            # ONE [N, D] x [D, R] matmul instead of R matvecs — each matvec
+            # re-reads the full h[dst_t] table from HBM
+            adst_mat = h[dst_t] @ jnp.stack(v_cols, axis=1)     # [N, R]
+            a_dst_all = adst_mat.T.reshape(-1)
 
             def _w_src(slot):
                 rp = layer_params[L.rel_keys[slot]]
