@@ -267,3 +267,31 @@ def test_resolve_mesh_forms(tmp_path):
         assert run._resolve_mesh(m2) is m2
     with pytest.raises(TypeError, match="mesh must be"):
         run._resolve_mesh("everything")
+
+
+def test_scan_dispatch_matches_per_step(tmp_path):
+    """KGWAS.train(scan_steps=8) (lax.scan multi-step dispatch) produces the
+    same training trajectory as per-step dispatch (scan_steps=0): identical
+    epoch losses and final predictions."""
+    runs = {}
+    for tag, scan in [("per_step", 0), ("scan", 8)]:
+        data = KGWAS_Data.from_synthetic(
+            n_snp=300, n_gene=60, n_go=20, seed=11,
+            data_path=str(tmp_path / tag) + "/",
+        )
+        data.load_synthetic_gwas(seed=11)
+        data.process_gwas_file()
+        data.prepare_split()
+        run = KGWAS(data, exp_name=f"scan_{tag}", seed=11)
+        run.initialize_model(gnn_hidden_dim=16, gnn_num_layers=2,
+                             no_relu=True)
+        run.train(batch_size=64, epoch=2, lr=1e-3, scan_steps=scan,
+                  save_best_model=False)
+        runs[tag] = run
+
+    l_a = [h["loss"] for h in runs["per_step"].train_history]
+    l_b = [h["loss"] for h in runs["scan"].train_history]
+    np.testing.assert_allclose(l_b, l_a, rtol=1e-5)
+    p_a = np.asarray(runs["per_step"].predict_all())
+    p_b = np.asarray(runs["scan"].predict_all())
+    np.testing.assert_allclose(p_b, p_a, rtol=1e-4, atol=1e-5)
