@@ -58,6 +58,28 @@ def _load_data(args, need_gwas=True):
 
 
 def cmd_train(args):
+    if getattr(args, "watchdog_timeout", 0) and not os.environ.get(
+        "KGWAS_UNDER_WATCHDOG"
+    ):
+        # relaunch THIS command under the stall watchdog (recovers wedged
+        # accelerator claims that hang without raising). Pair with
+        # --checkpoint-every/--resume to resume rather than restart.
+        import sys
+        import tempfile
+
+        from kgwas_tpu.engine.watchdog import run_with_watchdog
+
+        hb = os.path.join(tempfile.mkdtemp(prefix="kgwas_wd_"), "heartbeat")
+        env = dict(os.environ, KGWAS_UNDER_WATCHDOG="1",
+                   KGWAS_HEARTBEAT=hb)
+        return run_with_watchdog(
+            [sys.executable, "-m", "kgwas_tpu.cli"] + sys.argv[1:],
+            heartbeat=hb,
+            stall_timeout_s=args.watchdog_timeout,
+            max_restarts=args.watchdog_restarts,
+            env=env,
+        )
+
     from kgwas_tpu import KGWAS
 
     data = _load_data(args)
@@ -82,6 +104,7 @@ def cmd_train(args):
         profile_dir=args.profile_dir,
         metrics_log=args.metrics_log,
         mesh=args.mesh or None,
+        heartbeat_path=os.environ.get("KGWAS_HEARTBEAT"),
     )
     print(res[["ID", "P", "pred", "KGWAS_P"]].head())
     print(json.dumps({"test_metrics": run.test_metrics,
@@ -177,6 +200,10 @@ def main(argv=None):
     t.add_argument("--wandb", action="store_true")
     t.add_argument("--profile-dir")
     t.add_argument("--metrics-log")
+    t.add_argument("--watchdog-timeout", type=float, default=0,
+                   help="stall watchdog: kill+restart training if no "
+                        "step progress for this many seconds (0 = off)")
+    t.add_argument("--watchdog-restarts", type=int, default=2)
     t.add_argument("--mesh", type=int, default=0,
                    help="data-parallel device count (0 = single device)")
     t.set_defaults(fn=cmd_train)

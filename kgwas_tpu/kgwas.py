@@ -232,11 +232,16 @@ class KGWAS:
         max_restarts: int = 0,
         mesh=None,
         scan_steps: int = 8,
+        heartbeat_path: Optional[str] = None,
     ):
         """Training defaults mirror reference kgwas/kgwas.py:85-87.
         scan_steps=S dispatches S optimizer steps per host round-trip via
         one lax.scan (single-device path only; 0/1 disables) — identical
         math to per-step dispatch, removes per-step host latency.
+        heartbeat_path: progress-marker file touched every dispatched
+        block, for the process-level stall watchdog
+        (engine/watchdog.run_with_watchdog — recovers wedged accelerator
+        claims that hang without raising).
         profile_dir captures a jax.profiler trace of epoch 1; metrics_log
         appends per-epoch JSONL records (edges/s, epoch time, val metrics).
         checkpoint_every=N saves (params, opt_state) asynchronously via orbax
@@ -255,6 +260,7 @@ class KGWAS:
         import jax.numpy as jnp
 
         from .engine.profiling import ThroughputMeter, profile_trace
+        from .engine.watchdog import touch_heartbeat
 
         total_epoch = epoch
         if save_name is None:
@@ -461,6 +467,7 @@ class KGWAS:
                                     )
                             last_loss = losses[-1]
                             s0 += len(blk)
+                            touch_heartbeat(heartbeat_path)
                     else:
                         for step, bidx in enumerate(batches):
                             if fault_hook is not None:
@@ -495,6 +502,7 @@ class KGWAS:
                                     f"Train Loss: {float(loss):.4f}"
                                 )
                             last_loss = loss
+                            touch_heartbeat(heartbeat_path)
                     jax.block_until_ready(last_loss)
 
                 pred_all = np.asarray(forward(params, arrays))

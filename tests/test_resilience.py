@@ -142,3 +142,60 @@ def test_restart_budget_exhausted(tmp_path):
     with pytest.raises(RuntimeError, match="INTERNAL"):
         run.train(batch_size=64, epoch=2, lr=1e-3, max_restarts=2)
     assert run.restart_count == 2
+
+
+def test_watchdog_restarts_stalled_process(tmp_path):
+    """A process that heartbeats then hangs (simulated wedged claim) is
+    killed by process group and relaunched; the relaunch completes."""
+    import sys
+    import textwrap
+
+    from kgwas_tpu.engine.watchdog import run_with_watchdog
+
+    hb = tmp_path / "hb"
+    mark = tmp_path / "attempt"
+    script = tmp_path / "job.py"
+    script.write_text(textwrap.dedent(f"""
+        import pathlib, sys, time
+        hb = pathlib.Path({str(hb)!r})
+        mark = pathlib.Path({str(mark)!r})
+        n = int(mark.read_text()) if mark.exists() else 0
+        mark.write_text(str(n + 1))
+        if n == 0:
+            hb.touch()
+            time.sleep(3600)        # hang: no further heartbeats
+        for _ in range(3):
+            hb.touch()
+            time.sleep(0.05)
+        sys.exit(0)
+    """))
+    # -S skips sitecustomize (which imports jax, ~2.4s of startup that
+    # would eat the stall budget)
+    rc = run_with_watchdog(
+        [sys.executable, "-S", str(script)], heartbeat=str(hb),
+        stall_timeout_s=2.0, max_restarts=1, poll_s=0.2,
+    )
+    assert rc == 0
+    assert int(mark.read_text()) == 2
+
+
+def test_watchdog_gives_up_after_budget(tmp_path):
+    """Persistent hangs exhaust max_restarts and raise WatchdogStall."""
+    import sys
+    import textwrap
+
+    import pytest as _pytest
+
+    from kgwas_tpu.engine.watchdog import WatchdogStall, run_with_watchdog
+
+    script = tmp_path / "hang.py"
+    script.write_text(textwrap.dedent("""
+        import time
+        time.sleep(3600)
+    """))
+    with _pytest.raises(WatchdogStall):
+        run_with_watchdog(
+            [sys.executable, "-S", str(script)],
+            heartbeat=str(tmp_path / "hb"),
+            stall_timeout_s=0.8, max_restarts=1, poll_s=0.2,
+        )
