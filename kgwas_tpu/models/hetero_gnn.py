@@ -205,8 +205,11 @@ def _merged_path_active(cfg: ModelConfig, meta: dict, raw_attention,
     reasons = []
     if cfg.gnn_backbone != "GAT":
         reasons.append(f"backbone={cfg.gnn_backbone} (need GAT)")
-    if cfg.gnn_aggr != "sum":
-        reasons.append(f"aggr={cfg.gnn_aggr} (need sum)")
+    if cfg.gnn_aggr not in ("sum", "mean"):
+        reasons.append(
+            f"aggr={cfg.gnn_aggr} (need sum/mean; max/min are not "
+            "separable from the per-relation bias)"
+        )
     if cfg.sigmoid_gat:
         reasons.append("sigmoid_gat")
     if raw_attention:
@@ -426,13 +429,22 @@ def apply_merged_gat_layer(
                         L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
                         cfg.negative_slope, cfg.temperature, interpret,
                     )
+            rel_stack = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d)
+            # cross-relation aggregation over the merged rows. mean matches
+            # the per-relation path's _aggregate: every relation output
+            # participates (zeros for edge-less nodes included), and the
+            # per-relation biases average (out_r + b_r averaged). max/min
+            # are NOT merged-eligible: max(out_r + b_r) is not separable
+            # into an aggregate plus a bias term.
             head_outs.append(
-                out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d)
-                .sum(axis=0)
+                rel_stack.mean(axis=0) if cfg.gnn_aggr == "mean"
+                else rel_stack.sum(axis=0)
             )
         out = (head_outs[0] if H == 1
                else jnp.concatenate(head_outs, axis=-1))
-        out_dict[dst_t] = out.astype(out_dtype) + bias_sum
+        bias = (bias_sum / len(L.rel_keys) if cfg.gnn_aggr == "mean"
+                else bias_sum)
+        out_dict[dst_t] = out.astype(out_dtype) + bias
     return out_dict
 
 

@@ -250,3 +250,42 @@ def test_raw_attention_conv_pallas_matches_xla():
         np.asarray(out_x)[:n_real], np.asarray(out_p)[:n_real],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_model_pallas_mean_aggr_matches_xla_path():
+    """Merged path with gnn_aggr='mean' (cross-relation mean over the
+    merged rows + averaged biases) must match the per-relation XLA path's
+    _aggregate semantics."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=14)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        gnn_aggr="mean")
+    cfg_p = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        gnn_aggr="mean", use_pallas=True)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    n_real = cg.num_nodes["SNP"]
+    out_x = apply_hetero_gnn(params, cfg_x, meta, arrays)
+    out_p = apply_hetero_gnn(params, cfg_p, meta, arrays)
+    np.testing.assert_allclose(
+        np.asarray(out_x)[:n_real], np.asarray(out_p)[:n_real],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gp = jax.grad(lambda p: loss(p, cfg_p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
