@@ -49,6 +49,7 @@ from .pallas_segment import (
     _lane_concat,
     _onehot_t,
     _tile_range,
+    dispatch_by_bases,
 )
 
 
@@ -656,15 +657,13 @@ def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
                 )
                 dma.start() if op == "start" else dma.wait()
                 return
-            for k in range(n_split):
-                @pl.when(jnp.logical_and(s >= split_bases[k],
-                                         s < split_bases[k + 1]))
-                def _(k=k):
-                    dma = pltpu.make_async_copy(
-                        msgs_refs[k].at[pl.ds((s - split_bases[k]) // LANE * LANE, BE), :],
-                        msgs_vmem.at[slot], sems.at[slot, 0],
-                    )
-                    dma.start() if op == "start" else dma.wait()
+            def _go(k, off):
+                dma = pltpu.make_async_copy(
+                    msgs_refs[k].at[pl.ds(off // LANE * LANE, BE), :],
+                    msgs_vmem.at[slot], sems.at[slot, 0],
+                )
+                dma.start() if op == "start" else dma.wait()
+            dispatch_by_bases(s, split_bases, _go)
 
         def _chunk_op(c, slot, op):
             # (s // LANE) * LANE is a numeric no-op (desc starts are
@@ -885,15 +884,13 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                 )
                 dma.start() if op == "start" else dma.wait()
                 return
-            for k in range(n_read):
-                @pl.when(jnp.logical_and(s >= read_bases[k],
-                                         s < read_bases[k + 1]))
-                def _(k=k):
-                    dma = pltpu.make_async_copy(
-                        msgs_refs[k].at[pl.ds((s - read_bases[k]) // LANE * LANE, BE), :],
-                        msgs_vmem.at[slot], sems.at[slot, 0],
-                    )
-                    dma.start() if op == "start" else dma.wait()
+            def _go(k, off):
+                dma = pltpu.make_async_copy(
+                    msgs_refs[k].at[pl.ds(off // LANE * LANE, BE), :],
+                    msgs_vmem.at[slot], sems.at[slot, 0],
+                )
+                dma.start() if op == "start" else dma.wait()
+            dispatch_by_bases(s, read_bases, _go)
 
         def _read_op(c, slot, op):
             # LANE re-derivation gives Mosaic the divisibility proof for
@@ -928,16 +925,14 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                 )
                 dma.start() if op == "start" else dma.wait()
                 return
-            for k in range(n_split):
-                @pl.when(jnp.logical_and(s >= split_bases[k],
-                                         s < split_bases[k + 1]))
-                def _(k=k):
-                    dma = pltpu.make_async_copy(
-                        dmsgs_out_vmem.at[slot],
-                        dmsgs_refs[k].at[pl.ds((s - split_bases[k]) // LANE * LANE, BE), :],
-                        wsems.at[slot],
-                    )
-                    dma.start() if op == "start" else dma.wait()
+            def _go(k, off):
+                dma = pltpu.make_async_copy(
+                    dmsgs_out_vmem.at[slot],
+                    dmsgs_refs[k].at[pl.ds(off // LANE * LANE, BE), :],
+                    wsems.at[slot],
+                )
+                dma.start() if op == "start" else dma.wait()
+            dispatch_by_bases(s, split_bases, _go)
 
         @pl.when(nchunks > 0)
         def _nonempty():

@@ -134,6 +134,33 @@ def _in_tile_row(dst_row, row_base):
     return jnp.logical_and(dst_row >= row_base, dst_row < row_base + BN)
 
 
+def dispatch_by_bases(s, bases, fn):
+    """Run fn(k, s - bases[k]) for the unique k with bases[k] <= s <
+    bases[k+1], via BINARY pl.when nesting — O(log K) executed scalar
+    branches instead of the O(K) linear condition chain. Bases are static;
+    K-chunk layouts reach K=50 at 400k-SNP scale, where the linear chain's
+    per-DMA condition evaluation dominates kernel scalar work."""
+    def rec(lo, hi):
+        if hi - lo == 1:
+            fn(lo, s - bases[lo])
+            return
+        mid = (lo + hi) // 2
+
+        @pl.when(s < bases[mid])
+        def _():
+            rec(lo, mid)
+
+        @pl.when(s >= bases[mid])
+        def _():
+            rec(mid, hi)
+
+    # guard the whole tree: s outside [bases[0], bases[-1]) dispatches
+    # nothing (matches the linear chain's behavior)
+    @pl.when(jnp.logical_and(s >= bases[0], s < bases[-1]))
+    def _():
+        rec(0, len(bases) - 1)
+
+
 def _chunk_dmas(start_al, c, slot, msgs_ref, msgs_vmem, ids_ref, ids_vmem,
                 sems, logits_ref=None, logits_vmem=None):
     s = start_al + c * BE
@@ -766,15 +793,13 @@ def _make_segsum_win_kernel(split_bases=None):
                 )
                 dma.start() if op == "start" else dma.wait()
             else:
-                for k in range(n_split):
-                    @pl.when(jnp.logical_and(s >= split_bases[k],
-                                             s < split_bases[k + 1]))
-                    def _(k=k):
-                        dma = pltpu.make_async_copy(
-                            vals_refs[k].at[pl.ds((s - split_bases[k]) // LANE * LANE, BE), :],
-                            vals_vmem.at[slot], sems.at[slot, 0],
-                        )
-                        dma.start() if op == "start" else dma.wait()
+                def _go(k, off):
+                    dma = pltpu.make_async_copy(
+                        vals_refs[k].at[pl.ds(off // LANE * LANE, BE), :],
+                        vals_vmem.at[slot], sems.at[slot, 0],
+                    )
+                    dma.start() if op == "start" else dma.wait()
+                dispatch_by_bases(s, split_bases, _go)
             dma = pltpu.make_async_copy(
                 ids_ref.at[pl.ds(s // LANE, BR), :], ids_vmem.at[slot],
                 sems.at[slot, 1],

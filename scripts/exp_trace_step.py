@@ -27,7 +27,8 @@ from kgwas_tpu.models import init_hetero_gnn
 
 def main():
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
-    g = make_synthetic_kg(n_snp=200_000, n_gene=20_000, n_go=12_000,
+    n_snp = int(os.environ.get("TRACE_N_SNP", 200_000))
+    g = make_synthetic_kg(n_snp=n_snp, n_gene=n_snp // 10, n_go=n_snp // 17,
                           snp_dim=20, gene_dim=128, go_dim=128,
                           avg_degree=6, seed=0)
     cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
