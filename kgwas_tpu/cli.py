@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 
 
@@ -73,7 +74,7 @@ def cmd_train(args):
         env = dict(os.environ, KGWAS_UNDER_WATCHDOG="1",
                    KGWAS_HEARTBEAT=hb)
         return run_with_watchdog(
-            [sys.executable, "-m", "kgwas_tpu.cli"] + sys.argv[1:],
+            [sys.executable, "-m", "kgwas_tpu.cli"] + args.raw_argv,
             heartbeat=hb,
             stall_timeout_s=args.watchdog_timeout,
             max_restarts=args.watchdog_restarts,
@@ -249,6 +250,9 @@ def main(argv=None):
     b.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    # keep the ACTUAL argv for self-relaunch (sys.argv is wrong when main()
+    # is called programmatically with an explicit list)
+    args.raw_argv = list(argv) if argv is not None else sys.argv[1:]
     args.fn(args)
 
 

@@ -53,7 +53,15 @@ class ModelConfig:
                                      # the default. None = follow
                                      # compute_dtype
     matmul_precision: str = "highest"  # "highest" for parity; "default" lets
-                                       # the TPU MXU use fast bf16 passes
+                                       # the TPU MXU use fast bf16 passes.
+                                       # NOTE: does NOT govern the Pallas
+                                       # kernels' in-kernel dots — those are
+                                       # pinned to Mosaic DEFAULT (numerics
+                                       # within rtol 5e-3 of the XLA path,
+                                       # scripts/exp_tpu_numerics.py); set
+                                       # KGWAS_KERNEL_PRECISION=highest
+                                       # before import for strict kernel
+                                       # parity runs
     remat: bool = False              # jax.checkpoint each conv layer
     use_pallas: bool = False         # fused segment-softmax-SpMM kernel for
                                      # the GAT aggregation (requires heads=1,

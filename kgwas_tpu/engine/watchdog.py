@@ -85,13 +85,20 @@ def run_with_watchdog(
             if age > stall_timeout_s:
                 stalled = True
                 # kill EXACTLY the process group we created (never by
-                # name or pattern — patterns can match foreign processes)
-                os.killpg(pgid, signal.SIGTERM)
+                # name or pattern — patterns can match foreign processes).
+                # The child may exit between poll() and killpg: treat
+                # ProcessLookupError as "already gone" and honor its rc.
                 try:
-                    proc.wait(timeout=grace_s)
-                except subprocess.TimeoutExpired:
-                    os.killpg(pgid, signal.SIGKILL)
-                    proc.wait()
+                    os.killpg(pgid, signal.SIGTERM)
+                    try:
+                        proc.wait(timeout=grace_s)
+                    except subprocess.TimeoutExpired:
+                        os.killpg(pgid, signal.SIGKILL)
+                        proc.wait()
+                except ProcessLookupError:
+                    rc = proc.wait()
+                    if rc == 0:
+                        return 0
                 last_failure = WatchdogStall(
                     f"no heartbeat for {age:.0f}s (limit "
                     f"{stall_timeout_s:.0f}s), attempt {attempt + 1}"

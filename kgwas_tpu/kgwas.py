@@ -416,96 +416,83 @@ class KGWAS:
                 last_loss = float("nan")
                 meter.start_epoch()
                 with profile_trace(profile_dir if ep == 0 else None):
-                    if train_scan is not None and len(batches) > 1:
-                        # scanned dispatch: S steps per host round-trip.
-                        # Per-step side channels move to block granularity
-                        # (fault hooks fire for every covered step BEFORE
-                        # the block; checkpoints save on cadence crossings)
-                        s0 = 0
-                        while s0 < len(batches):
-                            blk = batches[s0:s0 + scan_steps]
-                            if fault_hook is not None:
-                                for k in range(len(blk)):
-                                    fault_hook(global_step + k)
-                            bmat = jnp.asarray(np.stack(blk))
-                            params, opt_state, losses = train_scan(
-                                params, opt_state, arrays, bmat,
-                                y_node, w_node,
-                            )
-                            for _ in blk:
-                                meter.step()
-                            global_step += len(blk)
-                            if checkpointer and (
-                                global_step // checkpoint_every
-                                > (global_step - len(blk))
-                                // checkpoint_every
-                            ):
-                                from .engine.checkpoint import (
-                                    save_train_state_async,
-                                )
-
-                                save_train_state_async(
-                                    checkpointer, ckpt_dir, global_step,
-                                    jax.tree_util.tree_map(jnp.copy, params),
-                                    jax.tree_util.tree_map(
-                                        jnp.copy, opt_state
-                                    ),
-                                )
-                            if self.wandb:
-                                for lv in np.asarray(losses):
-                                    self.wandb.log(
-                                        {"training_loss": float(lv)}
-                                    )
-                            for k in range(len(blk)):
-                                st = s0 + k
-                                if (st % log_interval == 0
-                                        and st >= log_interval):
-                                    print_sys(
-                                        f"Epoch {ep + 1} Step {st + 1} "
-                                        f"Train Loss: "
-                                        f"{float(losses[k]):.4f}"
-                                    )
-                            last_loss = losses[-1]
-                            s0 += len(blk)
-                            touch_heartbeat(heartbeat_path)
-                    else:
-                        for step, bidx in enumerate(batches):
-                            if fault_hook is not None:
-                                fault_hook(global_step)
-                            params, opt_state, loss = train_step(
-                                params, opt_state, arrays, jnp.asarray(bidx),
-                                y_node, w_node,
-                            )
+                    def _after_block(blk_losses, start_step):
+                        """Side channels for the steps just dispatched:
+                        meter ticks, checkpoint cadence crossings, wandb,
+                        log_interval prints, heartbeat. Shared by the
+                        scanned and per-step dispatch modes."""
+                        nonlocal global_step, last_loss
+                        n = len(blk_losses)
+                        for _ in range(n):
                             meter.step()
-                            global_step += 1
-                            if (checkpointer
-                                    and global_step % checkpoint_every == 0):
-                                from .engine.checkpoint import (
-                                    save_train_state_async,
-                                )
+                        g0 = global_step
+                        global_step += n
+                        if checkpointer and (
+                            global_step // checkpoint_every
+                            > g0 // checkpoint_every
+                        ):
+                            from .engine.checkpoint import (
+                                save_train_state_async,
+                            )
 
-                                save_train_state_async(
-                                    checkpointer, ckpt_dir, global_step,
-                                    jax.tree_util.tree_map(jnp.copy, params),
-                                    jax.tree_util.tree_map(
-                                        jnp.copy, opt_state
-                                    ),
-                                )
-                            if self.wandb:
+                            save_train_state_async(
+                                checkpointer, ckpt_dir, global_step,
+                                jax.tree_util.tree_map(jnp.copy, params),
+                                jax.tree_util.tree_map(jnp.copy, opt_state),
+                            )
+                        if self.wandb:
+                            for lv in np.asarray(blk_losses):
                                 self.wandb.log(
-                                    {"training_loss": float(loss)}
+                                    {"training_loss": float(lv)}
                                 )
-                            if (step % log_interval == 0
-                                    and step >= log_interval):
+                        for k in range(n):
+                            st = start_step + k
+                            if (st % log_interval == 0
+                                    and st >= log_interval):
                                 print_sys(
-                                    f"Epoch {ep + 1} Step {step + 1} "
-                                    f"Train Loss: {float(loss):.4f}"
+                                    f"Epoch {ep + 1} Step {st + 1} "
+                                    f"Train Loss: "
+                                    f"{float(blk_losses[k]):.4f}"
                                 )
-                            last_loss = loss
-                            touch_heartbeat(heartbeat_path)
+                        last_loss = blk_losses[-1]
+                        touch_heartbeat(heartbeat_path)
+
+                    # scanned dispatch: S steps per host round-trip; the
+                    # trailing partial block runs through the per-step
+                    # program (already built — avoids compiling a second
+                    # scan shape). Fault hooks fire for every covered
+                    # step BEFORE the block dispatches.
+                    step0 = 0
+                    while step0 < len(batches):
+                        remaining = len(batches) - step0
+                        n_blk = (scan_steps
+                                 if train_scan is not None
+                                 and remaining >= scan_steps else 1)
+                        blk = batches[step0:step0 + n_blk]
+                        if fault_hook is not None:
+                            for k in range(len(blk)):
+                                fault_hook(global_step + k)
+                        if len(blk) > 1:
+                            params, opt_state, losses = train_scan(
+                                params, opt_state, arrays,
+                                jnp.asarray(np.stack(blk)), y_node, w_node,
+                            )
+                        else:
+                            params, opt_state, loss = train_step(
+                                params, opt_state, arrays,
+                                jnp.asarray(blk[0]), y_node, w_node,
+                            )
+                            losses = [loss]
+                        _after_block(losses, step0)
+                        step0 += len(blk)
                     jax.block_until_ready(last_loss)
 
+                # reset the stall clock around the epoch-end full-graph
+                # eval: its first-epoch compile produces no step heartbeats
+                # (watchdog timeouts must cover this compile + forward)
+                touch_heartbeat(heartbeat_path)
                 pred_all = np.asarray(forward(params, arrays))
+                touch_heartbeat(heartbeat_path)
                 val_metrics = compute_metrics(
                     {"pred": pred_all[val_ids],
                      "truth": np.asarray(y_node)[val_ids]}

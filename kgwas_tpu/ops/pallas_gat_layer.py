@@ -589,16 +589,25 @@ def _fgl_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
         jnp.asarray(ts), jnp.asarray(tile2rel_np), row_max,
         row_sum, out, g, n_rows, negative_slope, temperature, interpret,
     )
-    n_tiles = n_rows // BN
-    d_a_dst = dadst_tiles[::8].reshape(n_rows)
-    # per-tile att grads -> per-relation via a static 0/1 matrix
-    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
-    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
-    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    d_a_dst, d_att = _tile_grads_to_rel(
+        dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
+    )
     return dmsgs, d_att, d_a_dst
 
 
 fused_gat_layer.defvjp(_fgl_fwd, _fgl_bwd)
+
+
+def _tile_grads_to_rel(dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows):
+    """Kernel per-tile (dadst [n_tiles*8, BN], datt [n_tiles*8, D]) grads
+    -> (d_a_dst [n_rows], d_att [R, D]); the tile->relation reduction is a
+    static 0/1 selector matmul. Shared by every merged bwd rule."""
+    n_tiles = n_rows // BN
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
+    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
+    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    return d_a_dst, d_att
 
 
 def _tile_starts_np(row_offsets_np):
@@ -1183,11 +1192,9 @@ def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
         negative_slope, temperature, interpret, owned,
     )
-    n_tiles = n_rows // BN
-    d_a_dst = dadst_tiles[::8].reshape(n_rows)
-    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
-    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
-    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    d_a_dst, d_att = _tile_grads_to_rel(
+        dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
+    )
     return dmsgs, d_att, d_a_dst
 
 
@@ -1415,11 +1422,9 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
         dtabs.append(dx[o:o + r])
         o += r
 
-    n_tiles = n_rows // BN
-    d_a_dst = dadst_tiles[::8].reshape(n_rows)
-    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
-    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
-    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    d_a_dst, d_att = _tile_grads_to_rel(
+        dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
+    )
     return tuple(dtabs), d_att, d_a_dst
 
 
@@ -1529,11 +1534,9 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, residuals,
             dx = jnp.zeros((n_src_total, msgs.shape[1]),
                            dtype=jnp.float32)
 
-    n_tiles = n_rows // BN
-    d_a_dst = dadst_tiles[::8].reshape(n_rows)
-    sel = np.zeros((n_rel, n_tiles), dtype=np.float32)
-    sel[np.asarray(tile2rel_np), np.arange(n_tiles)] = 1.0
-    d_att = jnp.asarray(sel) @ datt_tiles[::8]              # [R, D]
+    d_a_dst, d_att = _tile_grads_to_rel(
+        dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
+    )
     return dx, d_att, d_a_dst
 
 
