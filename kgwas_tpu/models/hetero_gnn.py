@@ -210,10 +210,9 @@ def _merged_path_active(cfg: ModelConfig, meta: dict, raw_attention,
             f"aggr={cfg.gnn_aggr} (need sum/mean; max/min are not "
             "separable from the per-relation bias)"
         )
-    if cfg.sigmoid_gat:
-        reasons.append("sigmoid_gat")
-    if raw_attention:
-        reasons.append("raw_attention")
+    # sigmoid_gat / raw_attention are fused via the unnormalized-mode
+    # kernels (fused_gat_layer_unnorm) — no disqualification; alpha
+    # EXPORT still needs the per-relation path
     if collect_alpha:
         reasons.append("collect_alpha")
     if training and cfg.dropout > 0.0:
@@ -245,6 +244,7 @@ def apply_merged_gat_layer(
     meta: dict,
     h: Dict[str, jnp.ndarray],
     merged_kernel_fns: Optional[dict] = None,
+    raw_attention: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """One hetero GAT layer over merged per-dst-type edge streams: one
     fused_gat_layer kernel + one CSC gather per destination type
@@ -263,13 +263,21 @@ def apply_merged_gat_layer(
     from ..ops.pallas_gat_layer import (fused_gat_layer,
                                         fused_gat_layer_chunked,
                                         fused_gat_layer_gathered,
-                                        fused_gat_layer_plain_gathered)
+                                        fused_gat_layer_plain_gathered,
+                                        fused_gat_layer_unnorm)
     from ..ops.pallas_segment import (gather_rows_csc, gather_rows_chunked,
                                       gather_rows_csc_win)
 
     interpret = _jax.default_backend() != "tpu"
     d = cfg.gnn_hidden_dim
     H = cfg.gat_num_head
+    # unnormalized GAT modes run the plain merged stream through
+    # fused_gat_layer_unnorm (no softmax state); the chunked/owned
+    # gather acceleration stays softmax-only for now
+    mode = ("sigmoid" if cfg.sigmoid_gat
+            else "raw" if raw_attention else "softmax")
+    assert mode == "softmax" or merged_kernel_fns is None, (
+        "shard_map merged kernels are softmax-only")
     chunk_rows = (cfg.gather_chunk_rows if cfg.gather_chunk_rows is not None
                   else EMITTER_FAST_ROWS)
     out_dict = {}
@@ -281,6 +289,7 @@ def apply_merged_gat_layer(
         # to negative, scripts/exp_chunk_ab.py). Single-device only (the
         # shard_map kernels keep the plain stream).
         use_chunked = (merged_kernel_fns is None and chunk_rows > 0
+                       and mode == "softmax"
                        and L.n_src_total > min(EMITTER_FAST_ROWS,
                                                2 * chunk_rows))
         pad_frags = (cfg.pad_fragments if cfg.pad_fragments is not None
@@ -297,7 +306,7 @@ def apply_merged_gat_layer(
         win_edges = cfg.bwd_window_edges or 0
         wl = None
         if (cs is None and merged_kernel_fns is None and win_edges > 0
-                and chunk_rows > 0
+                and chunk_rows > 0 and mode == "softmax"
                 and len(L.src) > min(EMITTER_FAST_ROWS, 2 * win_edges)):
             wl = get_csc_windows(L, win_edges)
             if wl.read_amp > 1.5:
@@ -307,7 +316,7 @@ def apply_merged_gat_layer(
         # guard mirrors the wl one.
         pl_lay = None
         if (cs is None and wl is None and merged_kernel_fns is None
-                and pad_frags and chunk_rows > 0
+                and pad_frags and chunk_rows > 0 and mode == "softmax"
                 and len(L.src) > EMITTER_FAST_ROWS):
             pl_lay = get_owned_plain_stream(L)
             if pl_lay.read_amp > 1.5 or pl_lay.sum_read_amp > 1.5:
@@ -423,12 +432,22 @@ def apply_merged_gat_layer(
                             L.csc_ids, L.csc_offsets, L.n_src_total,
                             interpret,
                         )
-                    out_all = fused_gat_layer(
-                        msgs, att.astype(jnp.float32),
-                        a_dst_all.astype(jnp.float32),
-                        L.dst, L.row_offsets, L.tile2rel, L.n_rows_total,
-                        cfg.negative_slope, cfg.temperature, interpret,
-                    )
+                    if mode == "softmax":
+                        out_all = fused_gat_layer(
+                            msgs, att.astype(jnp.float32),
+                            a_dst_all.astype(jnp.float32),
+                            L.dst, L.row_offsets, L.tile2rel,
+                            L.n_rows_total, cfg.negative_slope,
+                            cfg.temperature, interpret,
+                        )
+                    else:
+                        out_all = fused_gat_layer_unnorm(
+                            msgs, att.astype(jnp.float32),
+                            a_dst_all.astype(jnp.float32),
+                            L.dst, L.row_offsets, L.tile2rel,
+                            L.n_rows_total, cfg.negative_slope,
+                            cfg.temperature, mode, interpret,
+                        )
             rel_stack = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d)
             # cross-relation aggregation over the merged rows. mean matches
             # the per-relation path's _aggregate: every relation output
@@ -464,7 +483,8 @@ def apply_hetero_layer(
     if _merged_path_active(cfg, meta, raw_attention, collect_alpha, training):
         return (
             apply_merged_gat_layer(
-                layer_params, cfg, meta, h, merged_kernel_fns
+                layer_params, cfg, meta, h, merged_kernel_fns,
+                raw_attention=raw_attention,
             ),
             {},
         )

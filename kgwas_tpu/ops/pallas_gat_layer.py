@@ -96,7 +96,18 @@ def _logits_row(msgs_block, att_ref, a_dst_row, onehot_t, negative_slope,
     return z, l / temperature
 
 
-def _make_fwd_kernel(negative_slope, temperature):
+def _unnorm_weight(l_row, temperature, mode):
+    """Per-edge weight for the unnormalized GAT modes. l_row is the
+    leaky-ReLU'd logit ALREADY divided by temperature (_logits_row):
+    sigmoid gating uses sigmoid(l) directly; raw attention uses the
+    undivided leaky logit (reference conv.py:219-223)."""
+    if mode == "sigmoid":
+        return jax.nn.sigmoid(l_row)
+    assert mode == "raw", mode
+    return l_row * temperature
+
+
+def _make_fwd_kernel(negative_slope, temperature, mode="softmax"):
     def kernel(
         off_ref,          # prefetch: row offsets
         t2r_ref,          # prefetch: tile -> relation slot (used by index maps)
@@ -148,18 +159,28 @@ def _make_fwd_kernel(negative_slope, temperature):
                     negative_slope, temperature,
                 )
 
-                m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
-                m_new = jnp.maximum(m_old, m_chunk)
-                scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
-                acc = acc * scale[:, None]
-                row_sum = row_sum * scale
+                if mode == "softmax":
+                    m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG),
+                                      axis=1)
+                    m_new = jnp.maximum(m_old, m_chunk)
+                    scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
+                    acc = acc * scale[:, None]
+                    row_sum = row_sum * scale
 
-                m_e = jnp.max(jnp.where(onehot_t, m_new[:, None], NEG_BIG),
-                              axis=0, keepdims=True)
-                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
-                p_row = jnp.where(in_tile, p_row, 0.0)
-                w = onehot_t.astype(jnp.float32) * p_row
-                row_sum = row_sum + jnp.sum(w, axis=1)
+                    m_e = jnp.max(
+                        jnp.where(onehot_t, m_new[:, None], NEG_BIG),
+                        axis=0, keepdims=True)
+                    p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
+                    p_row = jnp.where(in_tile, p_row, 0.0)
+                    w = onehot_t.astype(jnp.float32) * p_row
+                    row_sum = row_sum + jnp.sum(w, axis=1)
+                else:
+                    # unnormalized modes (reference conv.py:219-223): the
+                    # per-edge weight is elementwise — no softmax state
+                    w_row = _unnorm_weight(l_row, temperature, mode)
+                    w_row = jnp.where(in_tile, w_row, 0.0)
+                    w = onehot_t.astype(jnp.float32) * w_row
+                    m_new = m_old
                 acc = acc + jax.lax.dot_general(
                     w.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -176,7 +197,10 @@ def _make_fwd_kernel(negative_slope, temperature):
                     jnp.full((BN,), NEG_BIG, dtype=jnp.float32),
                 ),
             )
-            out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+            if mode == "softmax":
+                out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+            else:
+                out_ref[:, :] = acc
             max_ref[0:1, :] = row_max[None, :]
             sum_ref[0:1, :] = row_sum[None, :]
 
@@ -211,10 +235,12 @@ def _pad_edge_stream(msgs, dst, n_rows, pre_padded=False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
+                     "mode"),
 )
 def _merged_forward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
-                    n_rows, negative_slope, temperature, interpret=False):
+                    n_rows, negative_slope, temperature, interpret=False,
+                    mode="softmax"):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
@@ -245,7 +271,7 @@ def _merged_forward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
         ],
     )
     out, row_max, row_sum = pl.pallas_call(
-        _make_fwd_kernel(negative_slope, temperature),
+        _make_fwd_kernel(negative_slope, temperature, mode),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
@@ -257,7 +283,8 @@ def _merged_forward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
     return out, row_max, row_sum
 
 
-def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
+def _make_bwd_kernel(negative_slope, temperature, e_pad_total,
+                     mode="softmax"):
     def kernel(
         off_ref,
         t2r_ref,
@@ -367,25 +394,38 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
                     msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
                     negative_slope, temperature,
                 )
-                lse_e = jnp.max(
-                    jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
-                    axis=0, keepdims=True,
-                )
-                p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
-                p_row = jnp.where(in_tile, p_row, 0.0)
-                w = ohf * p_row                                  # [BN, BE]
-
-                # d_l (pre-softmax logit grad), then d_z through leaky/T
                 m2 = jax.lax.dot_general(
                     g_ref[:, :].astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=KERNEL_PRECISION,
                 )                                                # [BN, BE]
-                dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
-                                 keepdims=True)                  # [1, BE]
-                dz_row = dl_row * jnp.where(z >= 0, 1.0, negative_slope) \
-                    / temperature
+                leaky_d = jnp.where(z >= 0, 1.0, negative_slope)
+                if mode == "softmax":
+                    lse_e = jnp.max(
+                        jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
+                        axis=0, keepdims=True,
+                    )
+                    p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
+                    p_row = jnp.where(in_tile, p_row, 0.0)
+                    w = ohf * p_row                              # [BN, BE]
+                    # d_l (pre-softmax logit grad), then d_z via leaky/T
+                    dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
+                                     keepdims=True)              # [1, BE]
+                    dz_row = dl_row * leaky_d / temperature
+                else:
+                    # unnormalized: d_w = g[dst_e] . msg_e, then through
+                    # the elementwise weight and leaky/T
+                    w_row = _unnorm_weight(l_row, temperature, mode)
+                    w_row = jnp.where(in_tile, w_row, 0.0)
+                    w = ohf * w_row
+                    dw_row = jnp.sum(ohf * m2, axis=0,
+                                     keepdims=True)              # [1, BE]
+                    if mode == "sigmoid":
+                        dz_row = (dw_row * w_row * (1.0 - w_row)
+                                  * leaky_d / temperature)
+                    else:                                        # raw
+                        dz_row = dw_row * leaky_d
                 dz_row = jnp.where(in_tile, dz_row, 0.0)
 
                 # d_msgs = w^T @ g  +  dz^T att
@@ -466,11 +506,12 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "negative_slope", "temperature", "interpret"),
+    static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
+                     "mode"),
 )
 def _merged_backward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
                      row_max, row_sum, out, g, n_rows, negative_slope,
-                     temperature, interpret=False):
+                     temperature, interpret=False, mode="softmax"):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
@@ -512,7 +553,7 @@ def _merged_backward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
         ],
     )
     dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
-        _make_bwd_kernel(negative_slope, temperature, e_pad),
+        _make_bwd_kernel(negative_slope, temperature, e_pad, mode),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
@@ -598,6 +639,60 @@ def _fgl_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
 fused_gat_layer.defvjp(_fgl_fwd, _fgl_bwd)
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+)
+def fused_gat_layer_unnorm(msgs, att, a_dst_all, dst_np, row_offsets_np,
+                           tile2rel_np, n_rows, negative_slope, temperature,
+                           mode, interpret=False):
+    """fused_gat_layer for the UNNORMALIZED GAT modes (reference
+    conv.py:219-223): per-edge weight sigmoid(l) ("sigmoid" mode, the
+    sigmoid_gat flag) or the raw leaky logit ("raw" mode) — elementwise,
+    so the kernels skip the online-softmax state entirely. Same merged
+    layout and tiling as the softmax op; backward recomputes the weights
+    (no residual softmax stats needed)."""
+    ts = _tile_starts_np(row_offsets_np)
+    out, _, _ = _merged_forward(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
+        jnp.asarray(dst_np), jnp.asarray(ts),
+        jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
+        interpret, mode=mode,
+    )
+    return out
+
+
+def _fglu_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
+              n_rows, negative_slope, temperature, mode, interpret):
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
+    ts = _tile_starts_np(row_offsets_np)
+    out, row_max, row_sum = _merged_forward(
+        msgs, att8, adst_tiles, jnp.asarray(dst_np),
+        jnp.asarray(ts), jnp.asarray(tile2rel_np), n_rows,
+        negative_slope, temperature, interpret, mode=mode,
+    )
+    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+
+
+def _fglu_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
+              temperature, mode, interpret, residuals, g):
+    msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
+    ts = _tile_starts_np(row_offsets_np)
+    dmsgs, dadst_tiles, datt_tiles = _merged_backward(
+        msgs, att8, adst_tiles, jnp.asarray(dst_np),
+        jnp.asarray(ts), jnp.asarray(tile2rel_np), row_max,
+        row_sum, out, g, n_rows, negative_slope, temperature, interpret,
+        mode=mode,
+    )
+    d_a_dst, d_att = _tile_grads_to_rel(
+        dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
+    )
+    return dmsgs, d_att, d_a_dst
+
+
+fused_gat_layer_unnorm.defvjp(_fglu_fwd, _fglu_bwd)
+
+
 def _tile_grads_to_rel(dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows):
     """Kernel per-tile (dadst [n_tiles*8, BN], datt [n_tiles*8, D]) grads
     -> (d_a_dst [n_rows], d_att [R, D]); the tile->relation reduction is a
@@ -629,7 +724,8 @@ def _tile_starts_np(row_offsets_np):
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
+def _make_fwd_kernel_chunked(negative_slope, temperature,
+                             split_bases=None, mode="softmax"):
     """split_bases: static padded chunk-block boundaries — msgs arrives as
     len(split_bases)-1 SEPARATE per-chunk HBM buffers (the per-chunk
     fast-emitter takes, never concatenated); the DMA source is
@@ -714,18 +810,28 @@ def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
                     negative_slope, temperature,
                 )
 
-                m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG), axis=1)
-                m_new = jnp.maximum(m_old, m_chunk)
-                scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
-                acc = acc * scale[:, None]
-                row_sum = row_sum * scale
+                if mode == "softmax":
+                    m_chunk = jnp.max(jnp.where(onehot_t, l_row, NEG_BIG),
+                                      axis=1)
+                    m_new = jnp.maximum(m_old, m_chunk)
+                    scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
+                    acc = acc * scale[:, None]
+                    row_sum = row_sum * scale
 
-                m_e = jnp.max(jnp.where(onehot_t, m_new[:, None], NEG_BIG),
-                              axis=0, keepdims=True)
-                p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
-                p_row = jnp.where(in_tile, p_row, 0.0)
-                w = onehot_t.astype(jnp.float32) * p_row
-                row_sum = row_sum + jnp.sum(w, axis=1)
+                    m_e = jnp.max(
+                        jnp.where(onehot_t, m_new[:, None], NEG_BIG),
+                        axis=0, keepdims=True)
+                    p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
+                    p_row = jnp.where(in_tile, p_row, 0.0)
+                    w = onehot_t.astype(jnp.float32) * p_row
+                    row_sum = row_sum + jnp.sum(w, axis=1)
+                else:
+                    # unnormalized modes (reference conv.py:219-223): the
+                    # per-edge weight is elementwise — no softmax state
+                    w_row = _unnorm_weight(l_row, temperature, mode)
+                    w_row = jnp.where(in_tile, w_row, 0.0)
+                    w = onehot_t.astype(jnp.float32) * w_row
+                    m_new = m_old
                 acc = acc + jax.lax.dot_general(
                     w.astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -742,7 +848,10 @@ def _make_fwd_kernel_chunked(negative_slope, temperature, split_bases=None):
                     jnp.full((BN,), NEG_BIG, dtype=jnp.float32),
                 ),
             )
-            out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+            if mode == "softmax":
+                out_ref[:, :] = acc / (row_sum + EPS)[:, None]
+            else:
+                out_ref[:, :] = acc
             max_ref[0:1, :] = row_max[None, :]
             sum_ref[0:1, :] = row_sum[None, :]
 

@@ -49,6 +49,8 @@ def _select_kernel_path(cfg: ModelConfig, meta: dict, mesh: Mesh,
 
     if (
         cfg.use_pallas
+        and not cfg.sigmoid_gat  # shard_map kernels are softmax-only (the
+                                 # unnorm modes fuse single-device only)
         and _merged_path_active(cfg, meta, False, False, training)
         and sharded_merged_eligible(meta, mesh)
     ):

@@ -289,3 +289,90 @@ def test_model_pallas_mean_aggr_matches_xla_path():
                     jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_model_pallas_sigmoid_gat_matches_xla_path():
+    """sigmoid_gat (unnormalized gating, reference conv.py:219-221) through
+    the merged fused_gat_layer_unnorm kernels must match the per-relation
+    XLA path, forward + grads."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=15)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, sigmoid_gat=True,
+              temperature=0.7)
+    cfg_x = ModelConfig(**kw)
+    cfg_p = ModelConfig(use_pallas=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    n_real = cg.num_nodes["SNP"]
+    out_x = apply_hetero_gnn(params, cfg_x, meta, arrays)
+    out_p = apply_hetero_gnn(params, cfg_p, meta, arrays)
+    np.testing.assert_allclose(
+        np.asarray(out_x)[:n_real], np.asarray(out_p)[:n_real],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gp = jax.grad(lambda p: loss(p, cfg_p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_gat_layer_unnorm_raw_mode_dense_oracle():
+    """mode='raw' (pre-softmax leaky logits as weights, reference
+    conv.py:222-223): fused_gat_layer_unnorm vs a dense jnp computation,
+    forward + all input grads."""
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.ops.pallas_gat_layer import fused_gat_layer_unnorm
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=16)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    rng = np.random.default_rng(4)
+    for dst_t, L in cg.merged_layouts().items():
+        E = len(L.src)
+        msgs = jnp.asarray(rng.standard_normal((E, 128)), jnp.float32)
+        R = len(L.rel_keys)
+        att = jnp.asarray(rng.standard_normal((R, 128)) * 0.2, jnp.float32)
+        adst = jnp.asarray(rng.standard_normal(L.n_rows_total) * 0.2,
+                           jnp.float32)
+        w_out = jnp.asarray(rng.standard_normal((L.n_rows_total, 128)),
+                            jnp.float32)
+        t2r = np.asarray(L.tile2rel)
+        rel_of_row = np.repeat(t2r, 256)[: L.n_rows_total]
+
+        def f_ref(msgs, att, adst):
+            z = (jnp.sum(msgs * att[rel_of_row[np.asarray(L.dst)]], axis=1)
+                 + adst[np.asarray(L.dst)])
+            l = jnp.where(z >= 0, z, 0.2 * z)           # leaky, NO /T (raw)
+            out = jax.ops.segment_sum(l[:, None] * msgs,
+                                      jnp.asarray(L.dst),
+                                      num_segments=L.n_rows_total)
+            return jnp.sum(out * w_out)
+
+        def f_new(msgs, att, adst):
+            out = fused_gat_layer_unnorm(
+                msgs, att, adst, L.dst, L.row_offsets, L.tile2rel,
+                L.n_rows_total, 0.2, 1.3, "raw", True,
+            )
+            return jnp.sum(out * w_out)
+
+        v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(
+            msgs, att, adst)
+        v_n, g_n = jax.value_and_grad(f_new, argnums=(0, 1, 2))(
+            msgs, att, adst)
+        np.testing.assert_allclose(float(v_n), float(v_r), rtol=1e-4)
+        for a, b in zip(g_n, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
