@@ -261,6 +261,22 @@ def init_sage(key, in_src: int, in_dst: int, out: int, dtype=jnp.float32):
     }
 
 
+def _maybe_csc_gather(x, src, csc, num_src_segments, use_pallas):
+    """gather_rows with the CSC-routed custom-VJP backward when the layout
+    permits (its transpose rides the Pallas segment-sum instead of XLA's
+    scatter-add — same trick apply_gat uses). Falls back to jnp.take."""
+    if (use_pallas and csc is not None and csc[0] is not None
+            and num_src_segments is not None
+            and num_src_segments % 256 == 0
+            and x.shape[1] % 128 == 0):
+        from ..ops.pallas_segment import gather_rows_csc
+
+        interpret = jax.default_backend() != "tpu"
+        return gather_rows_csc(x, src, csc[0], csc[1], csc[2],
+                               num_src_segments, interpret)
+    return gather_rows(x, src)
+
+
 def apply_sage(
     params,
     x_src: jnp.ndarray,
@@ -269,9 +285,14 @@ def apply_sage(
     dst: jnp.ndarray,
     num_real_edges: int,
     num_dst_segments: int,
+    csc=None,
+    num_src_segments=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     valid = edge_valid_mask(src.shape[0], num_real_edges)
-    agg = segment_mean(gather_rows(x_src, src), dst, num_dst_segments, valid)
+    agg = segment_mean(
+        _maybe_csc_gather(x_src, src, csc, num_src_segments, use_pallas),
+        dst, num_dst_segments, valid)
     out = agg @ params["lin_l"]["w"] + params["lin_l"]["b"]
     return out + x_dst @ params["lin_r"]["w"]
 
@@ -310,11 +331,14 @@ def apply_gcn(
     num_real_edges: int,
     num_src_segments: int,
     num_dst_segments: int,
+    csc=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     valid = edge_valid_mask(src.shape[0], num_real_edges)
     xp = x_src @ params["lin"]["w"]
     norm = _sym_norm(src, dst, valid, num_src_segments, num_dst_segments, xp.dtype)
-    msgs = gather_rows(xp, src) * norm[:, None]
+    msgs = _maybe_csc_gather(xp, src, csc, num_src_segments,
+                             use_pallas) * norm[:, None]
     return segment_sum(msgs, dst, num_dst_segments) + params["bias"]
 
 
@@ -336,10 +360,13 @@ def apply_sgc(
     num_real_edges: int,
     num_src_segments: int,
     num_dst_segments: int,
+    csc=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """SGConv K=1 (reference model.py:46 default): lin((norm A) x)."""
     valid = edge_valid_mask(src.shape[0], num_real_edges)
     norm = _sym_norm(src, dst, valid, num_src_segments, num_dst_segments, x_src.dtype)
-    msgs = gather_rows(x_src, src) * norm[:, None]
+    msgs = _maybe_csc_gather(x_src, src, csc, num_src_segments,
+                             use_pallas) * norm[:, None]
     agg = segment_sum(msgs, dst, num_dst_segments)
     return agg @ params["lin"]["w"] + params["lin"]["b"]

@@ -153,11 +153,15 @@ def _apply_relation_conv(
             stream_dtype=getattr(cfg, "stream_dtype", None),
         )
     if cfg.gnn_backbone == "SAGE":
-        return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd), None
+        return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd,
+                          csc=csc, num_src_segments=ns,
+                          use_pallas=cfg.use_pallas), None
     if cfg.gnn_backbone == "GCN":
-        return apply_gcn(rp, h[src_t], src, dst, num_real, ns, nd), None
+        return apply_gcn(rp, h[src_t], src, dst, num_real, ns, nd,
+                         csc=csc, use_pallas=cfg.use_pallas), None
     if cfg.gnn_backbone == "SGC":
-        return apply_sgc(rp, h[src_t], src, dst, num_real, ns, nd), None
+        return apply_sgc(rp, h[src_t], src, dst, num_real, ns, nd,
+                         csc=csc, use_pallas=cfg.use_pallas), None
     raise ValueError(cfg.gnn_backbone)
 
 
