@@ -471,6 +471,108 @@ def apply_merged_gat_layer(
     return out_dict
 
 
+def _merged_mp_active(cfg: ModelConfig, meta: dict) -> bool:
+    """Merged fast path for the non-attention backbones (SAGE/GCN/SGC):
+    one gather + one Pallas segment-sum per dst type instead of per
+    relation."""
+    return (
+        cfg.use_pallas
+        and cfg.pallas_mode == "merged"
+        and cfg.gnn_backbone in ("SAGE", "GCN", "SGC")
+        and cfg.gnn_aggr in ("sum", "mean")
+        and cfg.gnn_hidden_dim % 128 == 0
+        and meta.get("merged") is not None
+    )
+
+
+def _merged_mp_norms(L, backbone: str):
+    """Static (degree-only) normalization arrays for one merged layout,
+    cached on the layout object. Pad edges live on trash rows/src rows,
+    so plain bincounts over the merged stream give real-row degrees."""
+    import numpy as _np
+
+    cached = getattr(L, "_mp_norms", None)
+    if cached is None:
+        deg_dst = _np.bincount(L.dst, minlength=L.n_rows_total
+                               ).astype(_np.float32)
+        inv_deg = _np.where(deg_dst > 0, 1.0 / _np.maximum(deg_dst, 1.0),
+                            0.0)
+        deg_src = _np.bincount(L.src, minlength=L.n_src_total
+                               ).astype(_np.float32)
+        dinv_dst = _np.where(deg_dst > 0,
+                             1.0 / _np.sqrt(_np.maximum(deg_dst, 1.0)), 0.0)
+        dinv_src = _np.where(deg_src > 0,
+                             1.0 / _np.sqrt(_np.maximum(deg_src, 1.0)), 0.0)
+        sym_e = (dinv_src[L.src] * dinv_dst[L.dst]).astype(_np.float32)
+        cached = {"inv_deg": inv_deg, "sym_e": sym_e}
+        L._mp_norms = cached
+    return cached[{"SAGE": "inv_deg"}.get(backbone, "sym_e")]
+
+
+def apply_merged_mp_layer(
+    layer_params,
+    cfg: ModelConfig,
+    meta: dict,
+    h: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """One SAGE/GCN/SGC hetero layer over merged per-dst-type streams.
+
+    The per-relation convs (models/convs.py) each run a gather + segment
+    reduction; merged, every dst type is ONE CSC-backed gather + ONE
+    Pallas segment-sum over the concatenated relation stream (pad edges
+    aggregate into trash rows — graph/shard_compile.py contract). The
+    SAGE mean and the GCN/SGC symmetric norms depend only on degrees, so
+    they are host-built STATIC constants (_merged_mp_norms). Math
+    identical to the per-relation path + _aggregate
+    (tests/test_pallas_kernels.py::test_model_pallas_mp_backbones...).
+    """
+    import jax as _jax
+
+    from ..ops.pallas_segment import gather_rows_csc, segment_sum_edges
+
+    interpret = _jax.default_backend() != "tpu"
+    bb = cfg.gnn_backbone
+    out_dict = {}
+    for dst_t, L in meta["merged"].items():
+        R = len(L.rel_keys)
+        N = L.n_rows_per_rel
+        if bb == "GCN":
+            # GCN projects BEFORE aggregation: per-slot tables
+            xs_all = jnp.concatenate(
+                [h[L.src_types[r]] @ layer_params[L.rel_keys[r]]["lin"]["w"]
+                 for r in range(R)], axis=0)
+        else:
+            # SAGE / SGC aggregate raw features
+            xs_all = jnp.concatenate(
+                [h[L.src_types[r]] for r in range(R)], axis=0)
+        msgs = gather_rows_csc(
+            xs_all, jnp.asarray(L.src), L.csc_perm, L.csc_ids,
+            L.csc_offsets, L.n_src_total, interpret,
+        )
+        norm = _merged_mp_norms(L, bb)
+        if bb in ("GCN", "SGC"):
+            msgs = msgs * jnp.asarray(norm)[:, None]
+        summed = segment_sum_edges(
+            msgs, jnp.asarray(L.dst), jnp.asarray(L.row_offsets),
+            L.n_rows_total, interpret,
+        )
+        if bb == "SAGE":
+            summed = summed * jnp.asarray(norm)[:, None]     # mean
+        rel = summed.reshape(R, N, -1)
+        outs = []
+        for r, rk in enumerate(L.rel_keys):
+            rp = layer_params[rk]
+            if bb == "SAGE":
+                outs.append(rel[r] @ rp["lin_l"]["w"] + rp["lin_l"]["b"]
+                            + h[dst_t] @ rp["lin_r"]["w"])
+            elif bb == "GCN":
+                outs.append(rel[r] + rp["bias"])
+            else:                                            # SGC
+                outs.append(rel[r] @ rp["lin"]["w"] + rp["lin"]["b"])
+        out_dict[dst_t] = _aggregate(outs, cfg.gnn_aggr)
+    return out_dict
+
+
 def apply_hetero_layer(
     layer_params,
     cfg: ModelConfig,
@@ -484,6 +586,10 @@ def apply_hetero_layer(
     merged_kernel_fns: Optional[dict] = None,
 ):
     """One HeteroConv application. Returns (out_dict, alpha_dict)."""
+    # non-attention backbones dispatch first so the GAT gate's fallback
+    # warning doesn't fire for configs the MP fast path covers
+    if merged_kernel_fns is None and _merged_mp_active(cfg, meta):
+        return apply_merged_mp_layer(layer_params, cfg, meta, h), {}
     if _merged_path_active(cfg, meta, raw_attention, collect_alpha, training):
         return (
             apply_merged_gat_layer(

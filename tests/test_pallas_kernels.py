@@ -376,3 +376,42 @@ def test_fused_gat_layer_unnorm_raw_mode_dense_oracle():
         for a, b in zip(g_n, g_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("backbone", ["SAGE", "GCN", "SGC"])
+def test_model_pallas_mp_backbones_match_xla_path(backbone):
+    """Merged message-passing path (one gather + one Pallas segment-sum
+    per dst type, static degree norms) == the per-relation XLA path for
+    SAGE/GCN/SGC, forward + grads."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=17)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, gnn_backbone=backbone)
+    cfg_x = ModelConfig(**kw)
+    cfg_p = ModelConfig(use_pallas=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    n_real = cg.num_nodes["SNP"]
+    out_x = apply_hetero_gnn(params, cfg_x, meta, arrays)
+    out_p = apply_hetero_gnn(params, cfg_p, meta, arrays)
+    np.testing.assert_allclose(
+        np.asarray(out_x)[:n_real], np.asarray(out_p)[:n_real],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gp = jax.grad(lambda p: loss(p, cfg_p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
