@@ -296,3 +296,34 @@ def test_hetero_gnn_multihead_dims_and_grads():
     grads = jax.grad(loss)(params)
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+
+
+def test_stream_dtype_engages_and_stays_close():
+    """stream_dtype='bfloat16' must actually change the message-stream
+    numerics (engagement check — it once silently no-opped on the XLA
+    path) while staying within bf16 rounding of the f32 run."""
+    import jax
+
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=18)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    outs = {}
+    for use_pallas in (False, True):
+        for sd in (None, "bfloat16"):
+            cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                              use_pallas=use_pallas, stream_dtype=sd)
+            params = init_hetero_gnn(jax.random.PRNGKey(9), cfg, meta,
+                                     20, 32, 16)
+            outs[(use_pallas, sd)] = np.asarray(
+                apply_hetero_gnn(params, cfg, meta, cg.arrays())
+            )[: cg.num_nodes["SNP"]]
+    for up in (False, True):
+        f32, b16 = outs[(up, None)], outs[(up, "bfloat16")]
+        assert not np.array_equal(f32, b16), (
+            f"stream_dtype had no effect (use_pallas={up})")
+        np.testing.assert_allclose(b16, f32, rtol=5e-2, atol=5e-2)
