@@ -341,11 +341,27 @@ def _build_chunked_stream_once(L: MergedDstLayout, max_chunk_rows: int,
 def get_chunked_stream(L: MergedDstLayout,
                        max_chunk_rows: int = EMITTER_FAST_ROWS,
                        pad_fragments: bool = False) -> ChunkedStreamLayout:
-    """Cached accessor: builds the chunked stream once per layout object."""
-    key = (max_chunk_rows, pad_fragments)
+    """Cached accessor: builds the chunked stream once per layout object.
+
+    Per-chunk EDGE cap: larger caps mean fewer chunks (less split-buffer
+    branching, fewer window fragments) but push the backward per-chunk
+    cotangent tables past the fast gather emitter. The optimum is
+    scale-dependent (v5e sweep, benchmarks/RESULTS.md): EMITTER_FAST_ROWS
+    wins at 200k SNPs (1.8M-edge group -> ~90k-edge chunks, fast takes),
+    while at 400k SNPs the 50-chunk fragmentation costs more than slow
+    takes save — so the default scales as max(EMITTER_FAST_ROWS, E/16),
+    which leaves the 200k regime untouched and recovers most of the
+    +5% measured at 400k. KGWAS_CHUNK_EDGE_CAP overrides."""
+    import os as _os
+
+    env_cap = _os.environ.get("KGWAS_CHUNK_EDGE_CAP")
+    edge_cap = (int(env_cap) if env_cap
+                else max(EMITTER_FAST_ROWS, len(L.src) // 16))
+    key = (max_chunk_rows, pad_fragments, edge_cap)
     cached = getattr(L, "_chunked", None)
     if cached is None or getattr(L, "_chunked_key", None) != key:
         cached = build_chunked_stream(L, max_chunk_rows,
+                                      max_chunk_edges=edge_cap,
                                       pad_fragments=pad_fragments)
         L._chunked = cached
         L._chunked_key = key
