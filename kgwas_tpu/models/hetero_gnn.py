@@ -275,9 +275,9 @@ def apply_merged_gat_layer(
     interpret = _jax.default_backend() != "tpu"
     d = cfg.gnn_hidden_dim
     H = cfg.gat_num_head
-    # unnormalized GAT modes run the plain merged stream through
-    # fused_gat_layer_unnorm (no softmax state); the chunked/owned
-    # gather acceleration stays softmax-only for now
+    # unnormalized GAT modes (sigmoid_gat / raw_attention, reference
+    # conv.py:217-223) ride the same chunked/owned gather acceleration as
+    # softmax — every fused layer op takes a mode parameter
     mode = ("sigmoid" if cfg.sigmoid_gat
             else "raw" if raw_attention else "softmax")
     assert mode == "softmax" or merged_kernel_fns is None, (
@@ -293,7 +293,6 @@ def apply_merged_gat_layer(
         # to negative, scripts/exp_chunk_ab.py). Single-device only (the
         # shard_map kernels keep the plain stream).
         use_chunked = (merged_kernel_fns is None and chunk_rows > 0
-                       and mode == "softmax"
                        and L.n_src_total > min(EMITTER_FAST_ROWS,
                                                2 * chunk_rows))
         pad_frags = (cfg.pad_fragments if cfg.pad_fragments is not None
@@ -310,7 +309,7 @@ def apply_merged_gat_layer(
         win_edges = cfg.bwd_window_edges or 0
         wl = None
         if (cs is None and merged_kernel_fns is None and win_edges > 0
-                and chunk_rows > 0 and mode == "softmax"
+                and chunk_rows > 0
                 and len(L.src) > min(EMITTER_FAST_ROWS, 2 * win_edges)):
             wl = get_csc_windows(L, win_edges)
             if wl.read_amp > 1.5:
@@ -320,7 +319,7 @@ def apply_merged_gat_layer(
         # guard mirrors the wl one.
         pl_lay = None
         if (cs is None and wl is None and merged_kernel_fns is None
-                and pad_frags and chunk_rows > 0 and mode == "softmax"
+                and pad_frags and chunk_rows > 0
                 and len(L.src) > EMITTER_FAST_ROWS):
             pl_lay = get_owned_plain_stream(L)
             if pl_lay.read_amp > 1.5 or pl_lay.sum_read_amp > 1.5:
@@ -388,6 +387,7 @@ def apply_merged_gat_layer(
                         (L.csc_ids, L.csc_offsets, L.n_src_total,
                          L.n_rows_total, L.tile2rel),
                         cfg.negative_slope, cfg.temperature, interpret,
+                        mode,
                     )
                 else:
                     msgs = gather_rows_chunked(
@@ -401,7 +401,7 @@ def apply_merged_gat_layer(
                         a_dst_all.astype(jnp.float32),
                         cs.dst, cs.desc, cs.desc_offsets, L.tile2rel,
                         L.n_rows_total, cfg.negative_slope, cfg.temperature,
-                        interpret, cs.fully_owned,
+                        interpret, cs.fully_owned, mode,
                     )
             else:
                 xs_all = jnp.concatenate(
@@ -421,6 +421,7 @@ def apply_merged_gat_layer(
                         a_dst_all.astype(jnp.float32), pl_lay,
                         (L.n_src_total, L.n_rows_total, L.tile2rel),
                         cfg.negative_slope, cfg.temperature, interpret,
+                        mode,
                     )
                 else:
                     if wl is not None:

@@ -867,12 +867,12 @@ def _make_fwd_kernel_chunked(negative_slope, temperature,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "pre_padded", "split_bases"),
+                     "pre_padded", "split_bases", "mode"),
 )
 def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                             tile2rel, n_rows, negative_slope, temperature,
                             interpret=False, pre_padded=False,
-                            split_bases=None):
+                            split_bases=None, mode="softmax"):
     """split_bases: msgs is a TUPLE of per-chunk-block buffers (see
     _make_fwd_kernel_chunked); dst must already be the padded stream."""
     if split_bases is None:
@@ -916,7 +916,8 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
         ],
     )
     out, row_max, row_sum = pl.pallas_call(
-        _make_fwd_kernel_chunked(negative_slope, temperature, split_bases),
+        _make_fwd_kernel_chunked(negative_slope, temperature, split_bases,
+                                 mode),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
@@ -929,7 +930,8 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
 
 
 def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
-                             split_bases=None, read_bases=None):
+                             split_bases=None, read_bases=None,
+                             mode="softmax"):
     """owned=True consumes a fully-owned (fragment-padded, v3) stream:
     every window's lanes belong to this tile or are sentinels, so dmsgs
     windows are written blind — no read-modify-write stream, no ownership
@@ -989,10 +991,11 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
         a_dst_row = adst_ref[0:1, :]
         att_row = att_ref[0:1, :]
 
-        dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
-        # per-row log-sum-exp: folds the row-max and 1/row-sum masked
-        # extracts (two O(BN*BE) passes per window) into ONE
-        lse_v = rmax_ref[0, :] + jnp.log(rsum_ref[0, :] + EPS)
+        if mode == "softmax":
+            dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
+            # per-row log-sum-exp: folds the row-max and 1/row-sum masked
+            # extracts (two O(BN*BE) passes per window) into ONE
+            lse_v = rmax_ref[0, :] + jnp.log(rsum_ref[0, :] + EPS)
 
         def _msgs_read_op(s, slot, op):
             if read_bases is None:
@@ -1078,24 +1081,37 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                     msgs_vmem[slot], att_ref, a_dst_row, onehot_t,
                     negative_slope, temperature,
                 )
-                lse_e = jnp.max(
-                    jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
-                    axis=0, keepdims=True,
-                )
-                p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
-                p_row = jnp.where(in_tile, p_row, 0.0)
-                w = ohf * p_row                                  # [BN, BE]
-
                 m2 = jax.lax.dot_general(
                     g_ref[:, :].astype(msgs_vmem.dtype), msgs_vmem[slot],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=KERNEL_PRECISION,
                 )                                                # [BN, BE]
-                dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
-                                 keepdims=True)                  # [1, BE]
-                dz_row = dl_row * jnp.where(z >= 0, 1.0, negative_slope) \
-                    / temperature
+                leaky_d = jnp.where(z >= 0, 1.0, negative_slope)
+                if mode == "softmax":
+                    lse_e = jnp.max(
+                        jnp.where(onehot_t, lse_v[:, None], NEG_BIG),
+                        axis=0, keepdims=True,
+                    )
+                    p_row = jnp.exp(jnp.minimum(l_row - lse_e, EXP_CLAMP))
+                    p_row = jnp.where(in_tile, p_row, 0.0)
+                    w = ohf * p_row                              # [BN, BE]
+                    dl_row = jnp.sum(w * (m2 - dot_r[:, None]), axis=0,
+                                     keepdims=True)              # [1, BE]
+                    dz_row = dl_row * leaky_d / temperature
+                else:
+                    # unnormalized modes (reference conv.py:219-223): the
+                    # weight is elementwise, no softmax stats needed
+                    w_row = _unnorm_weight(l_row, temperature, mode)
+                    w_row = jnp.where(in_tile, w_row, 0.0)
+                    w = ohf * w_row
+                    dw_row = jnp.sum(ohf * m2, axis=0,
+                                     keepdims=True)              # [1, BE]
+                    if mode == "sigmoid":
+                        dz_row = (dw_row * w_row * (1.0 - w_row)
+                                  * leaky_d / temperature)
+                    else:                                        # raw
+                        dz_row = dw_row * leaky_d
                 dz_row = jnp.where(in_tile, dz_row, 0.0)
 
                 new_dmsgs = (jax.lax.dot_general(
@@ -1175,12 +1191,12 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "owned"),
+                     "owned", "mode"),
 )
 def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                              tile2rel, row_max, row_sum, out, g, n_rows,
                              negative_slope, temperature, interpret=False,
-                             owned=False):
+                             owned=False, mode="softmax"):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     # owned (fully fragment-padded) streams are exact BE multiples whose
@@ -1232,7 +1248,8 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
         ),
     )
     dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
-        _make_bwd_kernel_chunked(negative_slope, temperature, owned),
+        _make_bwd_kernel_chunked(negative_slope, temperature, owned,
+                                 mode=mode),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
@@ -1250,11 +1267,12 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
                             desc_off_np, tile2rel_np, n_rows, negative_slope,
-                            temperature, interpret=False, owned=False):
+                            temperature, interpret=False, owned=False,
+                            mode="softmax"):
     """fused_gat_layer over a chunked (src-chunk-major) edge stream.
 
     msgs [E, D] in ChunkedStreamLayout order (the concat of per-chunk fast
@@ -1262,13 +1280,15 @@ def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
     `build_chunked_stream`. Math identical to fused_gat_layer — only the
     window addressing differs (see module comment above). owned=True
     requires a fully-owned fragment-padded stream (fully_owned layouts)
-    and runs the zero-RMW backward kernel.
+    and runs the zero-RMW backward kernel. mode selects the per-edge
+    weight (softmax / sigmoid / raw — reference conv.py:217-223).
     """
     out, _, _ = _merged_forward_chunked(
         msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
         jnp.asarray(dst_np), jnp.asarray(desc_off_np),
         jnp.asarray(_nonempty_desc(desc_np)), jnp.asarray(tile2rel_np),
         n_rows, negative_slope, temperature, interpret, pre_padded=owned,
+        mode=mode,
     )
     return out
 
@@ -1280,26 +1300,27 @@ def _nonempty_desc(desc_np):
 
 def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
               tile2rel_np, n_rows, negative_slope, temperature, interpret,
-              owned):
+              owned, mode):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
     out, row_max, row_sum = _merged_forward_chunked(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
         jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
-        interpret, pre_padded=owned,
+        interpret, pre_padded=owned, mode=mode,
     )
     return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
 
 def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
-              negative_slope, temperature, interpret, owned, residuals, g):
+              negative_slope, temperature, interpret, owned, mode,
+              residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
     dmsgs, dadst_tiles, datt_tiles = _merged_backward_chunked(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
-        negative_slope, temperature, interpret, owned,
+        negative_slope, temperature, interpret, owned, mode,
     )
     d_a_dst, d_att = _tile_grads_to_rel(
         dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
@@ -1313,13 +1334,13 @@ fused_gat_layer_chunked.defvjp(_fglc_fwd, _fglc_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "split_bases", "read_bases"),
+                     "split_bases", "read_bases", "mode"),
 )
 def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
                                    desc, tile2rel, row_max, row_sum, out, g,
                                    n_rows, negative_slope, temperature,
                                    split_bases, interpret=False,
-                                   read_bases=None):
+                                   read_bases=None, mode="softmax"):
     """_merged_backward_chunked (owned) emitting dmsgs as one SEPARATE HBM
     buffer per padded chunk block (split_bases: static BE-multiple cuts) —
     see _make_bwd_kernel_chunked. Empty blocks get a never-written BE-row
@@ -1381,7 +1402,7 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
     res = pl.pallas_call(
         _make_bwd_kernel_chunked(negative_slope, temperature, owned=True,
                                  split_bases=split_bases,
-                                 read_bases=read_bases),
+                                 read_bases=read_bases, mode=mode),
         grid_spec=grid_spec,
         out_shape=(
             [
@@ -1405,9 +1426,9 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
     return tuple(res[:n_split]), res[n_split], res[n_split + 1]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
-                             temperature, interpret=False):
+                             temperature, interpret=False, mode="softmax"):
     """Gather + fused GAT layer in ONE custom-VJP op over a fully-owned
     chunked stream (graph/merged_layout.ChunkedStreamLayout,
     pad_fragments=True).
@@ -1432,7 +1453,7 @@ def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
         jnp.asarray(cs.dst), jnp.asarray(cs.desc_offsets),
         jnp.asarray(_nonempty_desc(cs.desc)), jnp.asarray(_aux_t2r(aux)),
         aux[3], negative_slope, temperature, interpret,
-        split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+        split_bases=tuple(int(b) for b in cs.chunk_edge_base), mode=mode,
     )
     return out
 
@@ -1454,7 +1475,7 @@ def _aux_t2r(aux):
 
 
 def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
-              interpret):
+              interpret, mode):
     parts = _take_tab_parts(tabs, cs)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[3])
@@ -1463,12 +1484,14 @@ def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
         jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
         jnp.asarray(_aux_t2r(aux)), aux[3], negative_slope, temperature,
         interpret, split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+        mode=mode,
     )
     return out, (parts, att8, adst_tiles, row_max, row_sum, out,
                  att.shape[0], tuple(t.shape[0] for t in tabs))
 
 
-def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
+def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
+              residuals, g):
     from ..graph.merged_layout import get_chunked_split_group
     from .pallas_segment import segment_sum_windows
 
@@ -1481,7 +1504,7 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
         jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
         negative_slope, temperature, split_bases, interpret,
-        read_bases=split_bases,
+        read_bases=split_bases, mode=mode,
     )
     if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
         # per-chunk cotangent takes stay SEPARATE into the split-input
@@ -1540,10 +1563,10 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, residuals, g):
 fused_gat_layer_gathered.defvjp(_fglg_fwd, _fglg_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
                                    negative_slope, temperature,
-                                   interpret=False):
+                                   interpret=False, mode="softmax"):
     """Gather + fused GAT layer in ONE custom-VJP op over an owned PLAIN
     stream (graph/merged_layout.OwnedPlainLayout) — for groups whose
     forward table xs_all is already fast (n_src_total <= EMITTER_FAST_ROWS)
@@ -1567,12 +1590,13 @@ def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
         jnp.asarray(lay.dst), jnp.asarray(lay.desc_offsets),
         jnp.asarray(_nonempty_desc(lay.desc)), jnp.asarray(aux[2]),
         aux[1], negative_slope, temperature, interpret, pre_padded=True,
+        mode=mode,
     )
     return out
 
 
 def _fglpg_fwd(xs_all, att, a_dst_all, lay, aux, negative_slope, temperature,
-               interpret):
+               interpret, mode):
     msgs = jnp.take(xs_all, jnp.asarray(lay.src), axis=0)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[1])
@@ -1580,13 +1604,13 @@ def _fglpg_fwd(xs_all, att, a_dst_all, lay, aux, negative_slope, temperature,
         msgs, att8, adst_tiles, jnp.asarray(lay.dst),
         jnp.asarray(lay.desc_offsets), jnp.asarray(_nonempty_desc(lay.desc)),
         jnp.asarray(aux[2]), aux[1], negative_slope, temperature, interpret,
-        pre_padded=True,
+        pre_padded=True, mode=mode,
     )
     return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
 
-def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, residuals,
-               g):
+def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, mode,
+               residuals, g):
     from .pallas_segment import segment_sum_windows
 
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
@@ -1596,7 +1620,7 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, residuals,
         msgs, att8, adst_tiles, jnp.asarray(lay.dst),
         jnp.asarray(lay.desc_offsets), jnp.asarray(_nonempty_desc(lay.desc)),
         jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
-        negative_slope, temperature, split_bases, interpret,
+        negative_slope, temperature, split_bases, interpret, mode=mode,
     )
     if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
         # per-cut cotangent takes stay SEPARATE into the split-input

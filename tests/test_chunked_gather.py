@@ -191,6 +191,84 @@ def test_full_model_chunked_multihead(world, padded):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("padded", [False, True])
+def test_full_model_chunked_sigmoid_matches_xla(world, padded):
+    """sigmoid_gat (reference conv.py:217-221) rides the chunked/owned
+    gather paths: forward + grads vs the XLA composite path."""
+    _, cg = world
+    meta = cg.meta()
+    n_real = cg.num_nodes["SNP"]
+    cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        sigmoid_gat=True)
+    cfg_c = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        sigmoid_gat=True, use_pallas=True,
+                        gather_chunk_rows=512, pad_fragments=padded)
+    params = init_hetero_gnn(jax.random.PRNGKey(2), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+
+    out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
+    out_c = np.asarray(apply_hetero_gnn(params, cfg_c, meta, arrays))
+    np.testing.assert_allclose(out_c[:n_real], out_x[:n_real],
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gc = jax.grad(lambda p: loss(p, cfg_c))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "raw"])
+def test_owned_plain_gathered_unnorm_modes(world, mode):
+    """fused_gat_layer_plain_gathered in the unnormalized modes == gather +
+    fused_gat_layer_unnorm on forward AND all input grads."""
+    from kgwas_tpu.graph.merged_layout import build_owned_plain_stream
+    from kgwas_tpu.ops.pallas_gat_layer import (
+        fused_gat_layer_plain_gathered, fused_gat_layer_unnorm)
+    from kgwas_tpu.ops.pallas_segment import gather_rows_csc
+
+    _, cg = world
+    rng = np.random.default_rng(7)
+    for dst_t, L in cg.merged_layouts().items():
+        lay = build_owned_plain_stream(L, split_edges=2048)
+        R = len(L.rel_keys)
+        xs = jnp.asarray(rng.standard_normal((L.n_src_total, 128)),
+                         jnp.float32)
+        att = jnp.asarray(rng.standard_normal((R, 128)), jnp.float32)
+        adst = jnp.asarray(rng.standard_normal(L.n_rows_total), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((L.n_rows_total, 128)),
+                        jnp.float32)
+
+        def f_ref(xs, att, adst):
+            msgs = gather_rows_csc(xs, jnp.asarray(L.src), L.csc_perm,
+                                   L.csc_ids, L.csc_offsets, L.n_src_total,
+                                   True)
+            out = fused_gat_layer_unnorm(msgs, att, adst, L.dst,
+                                         L.row_offsets, L.tile2rel,
+                                         L.n_rows_total, 0.2, 2.0, mode,
+                                         True)
+            return jnp.sum(out * w)
+
+        def f_new(xs, att, adst):
+            out = fused_gat_layer_plain_gathered(
+                xs, att, adst, lay,
+                (L.n_src_total, L.n_rows_total, L.tile2rel), 0.2, 2.0, True,
+                mode)
+            return jnp.sum(out * w)
+
+        v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(xs, att, adst)
+        v_n, g_n = jax.value_and_grad(f_new, argnums=(0, 1, 2))(xs, att, adst)
+        np.testing.assert_allclose(float(v_n), float(v_r), rtol=1e-5)
+        for a, b in zip(g_n, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_owned_plain_gathered_matches_plain(world):
     """fused_gat_layer_plain_gathered (per-tile BE-padded stream, split
     backward buffers, windowed segsum) == gather_rows_csc + fused_gat_layer
