@@ -46,6 +46,13 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     stream_dtype = os.environ.get("BENCH_STREAM_DTYPE") or None
+    # XLA-side model-matmul precision override (kernel dots are pinned to
+    # Mosaic DEFAULT independently — see benchmarks/RESULTS.md)
+    mm_precision = os.environ.get("BENCH_MM_PRECISION") or None
+    # scan_steps>1 dispatches that many optimizer steps per host round trip
+    # (lax.scan over the same step body) — isolates device step time from
+    # the per-dispatch relay overhead
+    scan_steps = int(os.environ.get("BENCH_SCAN", "0"))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # src-chunked gather rows: unset -> ModelConfig default; 0 disables
     gather_chunk = os.environ.get("BENCH_GATHER_CHUNK")
@@ -71,7 +78,8 @@ def main():
         gnn_backbone="GAT",
         compute_dtype=dtype,
         stream_dtype=stream_dtype,
-        matmul_precision="default" if dtype == "bfloat16" else "highest",
+        matmul_precision=mm_precision or (
+            "default" if dtype == "bfloat16" else "highest"),
         use_pallas=use_pallas,
         gather_chunk_rows=gather_chunk,
         bwd_window_edges=bwd_window,
@@ -92,30 +100,58 @@ def main():
         rng.integers(0, cg.num_nodes["SNP"], batch), dtype=jnp.int32
     )
 
-    # warmup / compile (float() forces a real host round trip; on relayed
-    # platforms block_until_ready can return before execution completes)
-    params, opt_state, loss = train_step(
-        params, opt_state, arrays, batch_idx, y_node, w_node
-    )
-    _ = float(loss)
+    if scan_steps > 1:
+        from kgwas_tpu.engine.loop import make_train_scan
 
-    # slope timing: run N1 then N2 chained steps, each ended by one host
-    # sync; the difference cancels fixed dispatch/sync latency
-    def run_n(n, params, opt_state):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            params, opt_state, loss = train_step(
-                params, opt_state, arrays, batch_idx, y_node, w_node
-            )
+        train_scan = make_train_scan(cfg, meta, optimizer)
+        batch_mat = jnp.asarray(
+            rng.integers(0, cg.num_nodes["SNP"], (scan_steps, batch)),
+            dtype=jnp.int32,
+        )
+
+        def run_n(n, params, opt_state):
+            t0 = time.perf_counter()
+            losses = None
+            for _ in range(n):
+                params, opt_state, losses = train_scan(
+                    params, opt_state, arrays, batch_mat, y_node, w_node
+                )
+            _ = float(losses[-1])
+            return time.perf_counter() - t0, params, opt_state, losses[-1]
+
+        n1 = max(steps // (4 * scan_steps), 1)
+        n2 = max(steps // scan_steps, n1 + 1)
+        _, params, opt_state, _ = run_n(1, params, opt_state)  # compile
+        t1, params, opt_state, _ = run_n(n1, params, opt_state)
+        t2, params, opt_state, loss = run_n(n2, params, opt_state)
+        steps = (n2 - n1) * scan_steps
+        dt = t2 - t1
+    else:
+        # warmup / compile (float() forces a real host round trip; on
+        # relayed platforms block_until_ready can return before execution
+        # completes)
+        params, opt_state, loss = train_step(
+            params, opt_state, arrays, batch_idx, y_node, w_node
+        )
         _ = float(loss)
-        return time.perf_counter() - t0, params, opt_state
 
-    n1 = max(steps // 4, 1)
-    n2 = steps
-    t1, params, opt_state = run_n(n1, params, opt_state)
-    t2, params, opt_state = run_n(n2, params, opt_state)
-    dt = (t2 - t1) / (n2 - n1) * steps  # normalized back to `steps` steps
-    loss = loss
+        # slope timing: run N1 then N2 chained steps, each ended by one host
+        # sync; the difference cancels fixed dispatch/sync latency
+        def run_n(n, params, opt_state):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                params, opt_state, loss = train_step(
+                    params, opt_state, arrays, batch_idx, y_node, w_node
+                )
+            _ = float(loss)
+            return time.perf_counter() - t0, params, opt_state
+
+        n1 = max(steps // 4, 1)
+        n2 = steps
+        t1, params, opt_state = run_n(n1, params, opt_state)
+        t2, params, opt_state = run_n(n2, params, opt_state)
+        dt = (t2 - t1) / (n2 - n1) * steps  # normalized to `steps` steps
+        loss = loss
 
     real_edges = cg.total_real_edges()
     traversals_per_step = real_edges * layers
