@@ -125,19 +125,30 @@ def apply_gat(
     e_pad = src.shape[0]
     valid = edge_valid_mask(e_pad, num_real_edges)
 
+    import os as _os
+
     xs = x_src @ params["lin_src"]["w"]            # [Ns, H*C]
+    xs_logit = xs
     if stream_dtype is not None:
         # message-stream rounding (ModelConfig.stream_dtype): the gathered
         # [E, D] stream and the logits derived from it run at this dtype
         # while activations/softmax state stay f32 — matches the merged
         # Pallas path, which computes logits in-kernel from the stream
         xs = xs.astype(jnp.dtype(stream_dtype))
+        # probe (KGWAS_STREAM_F32_LOGITS=1): keep the ATTENTION LOGITS at
+        # f32 and round only the aggregated message stream — emulates a
+        # merged kernel carrying an f32 a_src side-stream; used by
+        # scripts/exp_stream_gate.py to decide if that kernel is worth it
+        if _os.environ.get("KGWAS_STREAM_F32_LOGITS", "0") != "1":
+            xs_logit = xs
     # homogeneous relations share lin_src for the dst projection (reference
     # conv.py:136-138 Tensor branch; see init_gat share_dst)
     wd = params["lin_dst"]["w"] if "lin_dst" in params else params["lin_src"]["w"]
     xd = x_dst @ wd                                # [Nd, H*C]
 
-    a_src = jnp.sum(xs.reshape(-1, H, C) * params["att_src"], axis=-1)  # [Ns, H]
+    a_src = jnp.sum(
+        xs_logit.reshape(-1, H, C) * params["att_src"], axis=-1
+    )                                              # [Ns, H]
     a_dst = jnp.sum(xd.reshape(-1, H, C) * params["att_dst"], axis=-1)  # [Nd, H]
 
     alpha = gather_rows(a_src, src) + gather_rows(a_dst, dst)           # [E, H]

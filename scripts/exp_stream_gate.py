@@ -37,11 +37,7 @@ def run_mode(tag, tmp, seed=7, **model_kw):
     return res, run
 
 
-def main():
-    tmp = "/tmp/stream_gate"
-    res32, run32 = run_mode("f32", tmp)
-    res16, run16 = run_mode("stream16", tmp, stream_dtype="bfloat16")
-
+def compare(tag, res32, res16, run32, run16):
     merged = res32[["ID", "KGWAS_P"]].merge(
         res16[["ID", "KGWAS_P"]], on="ID", suffixes=("_32", "_16"))
     merged = merged.astype({"KGWAS_P_32": float, "KGWAS_P_16": float})
@@ -56,12 +52,29 @@ def main():
     vp16 = run16.train_history[-1]["val_pearsonr"]
     assert not (np.isnan(vp32) or np.isnan(vp16)), "degenerate run"
 
-    print(f"spearman(KGWAS_P): {rho:.4f}")
-    print(f"top-{k} overlap:   {overlap:.2f}")
-    print(f"val pearson f32={vp32:.4f} stream-bf16={vp16:.4f}")
+    print(f"[{tag}] spearman(KGWAS_P): {rho:.4f}")
+    print(f"[{tag}] top-{k} overlap:   {overlap:.2f}")
+    print(f"[{tag}] val pearson f32={vp32:.4f} variant={vp16:.4f}")
     gate = rho > 0.95 and overlap >= 0.9
-    print("GATE:", "PASS -> bf16 streams are quality-safe"
+    print(f"[{tag}] GATE:", "PASS -> quality-safe"
           if gate else "FAIL -> keep f32 streams by default")
+    return gate
+
+
+def main():
+    tmp = "/tmp/stream_gate"
+    res32, run32 = run_mode("f32", tmp)
+    res16, run16 = run_mode("stream16", tmp, stream_dtype="bfloat16")
+    compare("stream-bf16", res32, res16, run32, run16)
+
+    # hybrid probe: f32 attention logits + bf16 message aggregation — what
+    # a merged kernel with an f32 a_src side-stream would compute
+    os.environ["KGWAS_STREAM_F32_LOGITS"] = "1"
+    try:
+        resh, runh = run_mode("hybrid16", tmp, stream_dtype="bfloat16")
+    finally:
+        del os.environ["KGWAS_STREAM_F32_LOGITS"]
+    compare("f32-logit-hybrid", res32, resh, run32, runh)
 
 
 if __name__ == "__main__":
