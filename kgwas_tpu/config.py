@@ -52,6 +52,13 @@ class ModelConfig:
                                      # exp_stream_gate.py), so f32 stays
                                      # the default. None = follow
                                      # compute_dtype
+    stream_f32_logits: bool = False  # with stream_dtype set: keep attention
+                                     # LOGITS at f32 and round only the
+                                     # aggregated message stream (probe for
+                                     # an f32 a_src side-stream kernel —
+                                     # scored identical to full stream-bf16,
+                                     # scripts/exp_stream_gate.py, so that
+                                     # kernel was not built)
     matmul_precision: str = "highest"  # "highest" for parity; "default" lets
                                        # the TPU MXU use fast bf16 passes.
                                        # NOTE: does NOT govern the Pallas

@@ -120,12 +120,11 @@ def apply_gat(
     num_src_segments: Optional[int] = None,
     edge_attr: Optional[jnp.ndarray] = None,
     stream_dtype=None,
+    stream_f32_logits: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     H, C = heads, out_channels
     e_pad = src.shape[0]
     valid = edge_valid_mask(e_pad, num_real_edges)
-
-    import os as _os
 
     xs = x_src @ params["lin_src"]["w"]            # [Ns, H*C]
     xs_logit = xs
@@ -135,11 +134,12 @@ def apply_gat(
         # while activations/softmax state stay f32 — matches the merged
         # Pallas path, which computes logits in-kernel from the stream
         xs = xs.astype(jnp.dtype(stream_dtype))
-        # probe (KGWAS_STREAM_F32_LOGITS=1): keep the ATTENTION LOGITS at
-        # f32 and round only the aggregated message stream — emulates a
-        # merged kernel carrying an f32 a_src side-stream; used by
-        # scripts/exp_stream_gate.py to decide if that kernel is worth it
-        if _os.environ.get("KGWAS_STREAM_F32_LOGITS", "0") != "1":
+        # stream_f32_logits probe (ModelConfig.stream_f32_logits): keep the
+        # ATTENTION LOGITS at f32 and round only the aggregated message
+        # stream — emulates a merged kernel carrying an f32 a_src
+        # side-stream; used by scripts/exp_stream_gate.py to decide if that
+        # kernel is worth building
+        if not stream_f32_logits:
             xs_logit = xs
     # homogeneous relations share lin_src for the dst projection (reference
     # conv.py:136-138 Tensor branch; see init_gat share_dst)

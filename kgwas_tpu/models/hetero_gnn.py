@@ -151,6 +151,7 @@ def _apply_relation_conv(
             num_src_segments=ns,
             edge_attr=edges.get("edge_attr"),
             stream_dtype=getattr(cfg, "stream_dtype", None),
+            stream_f32_logits=getattr(cfg, "stream_f32_logits", False),
         )
     if cfg.gnn_backbone == "SAGE":
         return apply_sage(rp, h[src_t], h[dst_t], src, dst, num_real, nd,

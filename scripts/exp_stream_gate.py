@@ -65,17 +65,18 @@ def main():
     tmp = "/tmp/stream_gate"
     res32, run32 = run_mode("f32", tmp)
     res16, run16 = run_mode("stream16", tmp, stream_dtype="bfloat16")
-    compare("stream-bf16", res32, res16, run32, run16)
+    gate = compare("stream-bf16", res32, res16, run32, run16)
 
     # hybrid probe: f32 attention logits + bf16 message aggregation — what
     # a merged kernel with an f32 a_src side-stream would compute
-    os.environ["KGWAS_STREAM_F32_LOGITS"] = "1"
-    try:
-        resh, runh = run_mode("hybrid16", tmp, stream_dtype="bfloat16")
-    finally:
-        del os.environ["KGWAS_STREAM_F32_LOGITS"]
+    resh, runh = run_mode("hybrid16", tmp, stream_dtype="bfloat16",
+                          stream_f32_logits=True)
     compare("f32-logit-hybrid", res32, resh, run32, runh)
+
+    # exit status reflects the PRIMARY stream-bf16 gate so CI can consume
+    # it; the hybrid probe is informational
+    return 0 if gate else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -329,10 +329,11 @@ def test_stream_dtype_engages_and_stays_close():
         np.testing.assert_allclose(b16, f32, rtol=5e-2, atol=5e-2)
 
 
-def test_stream_f32_logits_probe_engages(monkeypatch):
-    """KGWAS_STREAM_F32_LOGITS=1 (the gate probe, scripts/exp_stream_gate.py)
-    must change the bf16-stream numerics on the XLA path (f32 logits vs
-    bf16-derived ones) and be a no-op when stream_dtype is unset."""
+def test_stream_f32_logits_probe_engages():
+    """ModelConfig.stream_f32_logits (the gate probe,
+    scripts/exp_stream_gate.py) must change the bf16-stream numerics on the
+    XLA path (f32 logits vs bf16-derived ones) and be a no-op when
+    stream_dtype is unset."""
     import jax
 
     from kgwas_tpu.config import ModelConfig
@@ -345,15 +346,11 @@ def test_stream_f32_logits_probe_engages(monkeypatch):
     meta = cg.meta()
 
     def run(sd, probe):
-        if probe:
-            monkeypatch.setenv("KGWAS_STREAM_F32_LOGITS", "1")
-        else:
-            monkeypatch.delenv("KGWAS_STREAM_F32_LOGITS", raising=False)
         cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
-                          use_pallas=False, stream_dtype=sd)
+                          use_pallas=False, stream_dtype=sd,
+                          stream_f32_logits=probe)
         params = init_hetero_gnn(jax.random.PRNGKey(9), cfg, meta, 20, 32, 16)
-        with jax.disable_jit():  # env var read at trace time
-            out = apply_hetero_gnn(params, cfg, meta, cg.arrays())
+        out = apply_hetero_gnn(params, cfg, meta, cg.arrays())
         return np.asarray(out)[: cg.num_nodes["SNP"]]
 
     assert not np.array_equal(run("bfloat16", False), run("bfloat16", True))
