@@ -18,7 +18,7 @@ from .config import ModelConfig
 from .engine.checkpoint import load_model, save_model
 from .engine.loop import build_optimizer, epoch_batches, make_forward, make_train_step
 from .models.hetero_gnn import init_hetero_gnn
-from .stats.calibration import find_closest_x, storey_tibshirani_integrate
+from .stats.calibration import finalize_predictions
 from .utils import compute_metrics, enable_persistent_compilation_cache, print_sys
 
 
@@ -380,6 +380,10 @@ class KGWAS:
 
         print_sys("Start Training...")
         self.train_history = []
+        # per-epoch per-STEP loss record (reference logs these to wandb,
+        # kgwas.py:147-148; the e2e pipeline-parity oracle compares them
+        # step-for-step — tests/test_e2e_reference_pipeline.py)
+        self.epoch_losses = []
         self.restart_count = 0
         global_step = 0
         fault_hook = getattr(self, "_fault_hook", None)
@@ -413,6 +417,8 @@ class KGWAS:
                 batches = epoch_batches(
                     train_ids, batch_size, shuffle, shuffle_rng
                 )
+                self.epoch_losses = self.epoch_losses[:ep]
+                self.epoch_losses.append([])
                 last_loss = float("nan")
                 meter.start_epoch()
                 with profile_trace(profile_dir if ep == 0 else None):
@@ -440,6 +446,9 @@ class KGWAS:
                                 jax.tree_util.tree_map(jnp.copy, params),
                                 jax.tree_util.tree_map(jnp.copy, opt_state),
                             )
+                        self.epoch_losses[-1].extend(
+                            float(lv) for lv in np.asarray(blk_losses)
+                        )
                         if self.wandb:
                             for lv in np.asarray(blk_losses):
                                 self.wandb.log(
@@ -493,9 +502,17 @@ class KGWAS:
                 touch_heartbeat(heartbeat_path)
                 pred_all = np.asarray(forward(params, arrays))
                 touch_heartbeat(heartbeat_path)
+                # reference quirk mirrored: the val loader is built with the
+                # TRAIN kwargs, so drop_last=True silently drops the tail
+                # n_val % batch_size SNPs from the early-stop metric
+                # (reference kgwas.py:92,104 + utils.py:20-39). Deviation:
+                # when n_val < batch_size the reference crashes on
+                # np.hstack([]) — we fall back to the full val set instead.
+                n_val_eval = (len(val_ids) // batch_size) * batch_size
+                val_eval_ids = val_ids[:n_val_eval] if n_val_eval else val_ids
                 val_metrics = compute_metrics(
-                    {"pred": pred_all[val_ids],
-                     "truth": np.asarray(y_node)[val_ids]}
+                    {"pred": pred_all[val_eval_ids],
+                     "truth": np.asarray(y_node)[val_eval_ids]}
                 )
                 rec = meter.end_epoch(
                     ep + 1,
@@ -587,24 +604,14 @@ class KGWAS:
             for k, v in test_metrics.items():
                 self.wandb.log({"test_" + k: v})
 
+        # SR reweighting + calibration tail (reference kgwas.py:186-212),
+        # extracted to stats.calibration.finalize_predictions so the
+        # chaining is oracle-testable on identical inputs
         infer_idx = np.asarray(self.data.all_mask)
-        self.data.lr_uni["pred"] = pred_all[infer_idx]
-        lr_uni_to_save = self.data.lr_uni.copy(deep=True)
-
-        self.data.lr_uni["abs_pred"] = np.abs(self.data.lr_uni["pred"])
-        self.data.lr_uni["SR_P_val"] = storey_tibshirani_integrate(
-            self.data.lr_uni, column="abs_pred", num_bins=500
+        lr_uni_to_save, scale_factor = finalize_predictions(
+            self.data.lr_uni, pred_all[infer_idx]
         )
-        self.data.lr_uni["SR"] = -(
-            np.log10(self.data.lr_uni["SR_P_val"].astype(float).values)
-        )
-        lr_uni_to_save["P_weighted"] = self.data.lr_uni["SR_P_val"]
-
-        # calibration (reference kgwas.py:200-203)
-        scale_factor = find_closest_x(lr_uni_to_save)
         self.scale_factor = scale_factor
-        lr_uni_to_save["KGWAS_P"] = scale_factor * lr_uni_to_save["P_weighted"]
-        lr_uni_to_save["KGWAS_P"] = lr_uni_to_save["KGWAS_P"].clip(lower=0, upper=1)
 
         out_dir = os.path.join(self.data_path, "model_pred", "new_experiments")
         os.makedirs(out_dir, exist_ok=True)

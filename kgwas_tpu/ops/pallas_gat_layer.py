@@ -52,6 +52,90 @@ from .pallas_segment import (
     dispatch_by_bases,
 )
 
+# ---------------------------------------------------------------------------
+# dyn128: per-window half-height one-hot bands.
+#
+# The chunked kernels' dominant cost is the [BN, BE] one-hot MXU dots
+# (BN*D MACs per edge vs the 128-MAC minimum). Measured at bench scale,
+# 78-91% of windows' in-tile dst rows span <= 128 of the tile's 256 rows
+# (benchmarks/RESULTS.md "Remaining headroom"), so each window gets a
+# static 8-aligned base row (computed host-side from the static layout,
+# packed /8 into a desc_base scalar-prefetch array; -1 = full-height
+# fallback) and the big dots run at [HALF, BE] height. The online-softmax
+# state moves to [BN, 1] COLUMN scratch so band updates are dynamic
+# SUBLANE slices (dynamic lane-dim placement is not efficient on TPU);
+# lane<->sublane transposes happen once per tile via exact identity-dot
+# transposes on the MXU.
+# ---------------------------------------------------------------------------
+HALF = 128
+DYN128 = (os.environ.get("KGWAS_DYN128", "1") == "1") and BN == 2 * HALF
+
+
+def _desc_base_np(desc_np, desc_off_np, dst_np, n_rows):
+    """Static per-window dyn128 descriptor: (base_row // 8) if the window's
+    in-tile dst rows fit a HALF-row band at that 8-aligned base, else -1
+    (full-height fallback). Pure numpy over the static layout arrays,
+    evaluated at trace time (slab-wise to bound transient memory)."""
+    desc = np.asarray(desc_np, dtype=np.int64).reshape(-1)
+    off = np.asarray(desc_off_np, dtype=np.int64).reshape(-1)
+    dst = np.asarray(dst_np, dtype=np.int32).reshape(-1)
+    nd = len(desc)
+    if nd == 0:
+        return np.full(1, -1, np.int32)
+    need = int(desc.max()) + BE
+    if len(dst) < need:  # non-owned streams: windows overrun into the pad
+        dst = np.concatenate(
+            [dst, np.full(need - len(dst), n_rows, np.int32)])
+    tile = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+    out = np.empty(nd, np.int32)
+    lane_iota = np.arange(BE, dtype=np.int64)
+    for s0 in range(0, nd, 8192):
+        s1 = min(s0 + 8192, nd)
+        lanes = dst[desc[s0:s1, None] + lane_iota[None, :]].astype(np.int64)
+        rel = lanes - (tile[s0:s1] * BN)[:, None]
+        intile = (rel >= 0) & (rel < BN)
+        lo = np.where(intile, rel, BN).min(axis=1)
+        hi = np.where(intile, rel, -1).max(axis=1)
+        b = np.minimum(lo - (lo % 8), BN - HALF)
+        fits = hi < b + HALF  # empty windows (hi=-1) trivially fit
+        out[s0:s1] = np.where(fits, b >> 3, -1).astype(np.int32)
+    return out
+
+
+def _desc_base_cached(layout_obj, desc_np, desc_off_np, dst_np, n_rows):
+    """_desc_base_np with the result stashed on the (static, identity-
+    compared) layout object so repeated traces don't recompute it."""
+    if not DYN128:
+        return np.full(1, -1, np.int32)
+    if layout_obj is None:
+        return _desc_base_np(desc_np, desc_off_np, dst_np, n_rows)
+    cached = getattr(layout_obj, "_dyn128_base", None)
+    if cached is None:
+        cached = _desc_base_np(desc_np, desc_off_np, dst_np, n_rows)
+        layout_obj._dyn128_base = cached
+    return cached
+
+
+def _eye_bn():
+    """[BN, BN] boolean identity mask for the masked-max transposes."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (BN, BN), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (BN, BN), 1)
+    )
+
+
+def _row_to_col(row, eye):
+    """[1, BN] lane-oriented row -> [BN, 1] sublane column via masked max
+    over the identity mask (one VPU pass per tile). Pure SELECTION — moves
+    the softmax state bit-exactly, unlike an identity dot (and Mosaic
+    rejects multi-pass f32 dot accumulators in this vector lowering)."""
+    return jnp.max(jnp.where(eye, row, -jnp.inf), axis=1, keepdims=True)
+
+
+def _col_to_row(col, eye):
+    """[BN, 1] column -> [1, BN] row (see _row_to_col)."""
+    return jnp.max(jnp.where(eye, col, -jnp.inf), axis=0, keepdims=True)
+
 
 def _edge_dmas_at(s, slot, msgs_ref, msgs_vmem, dst_ref, dst_vmem, sems):
     """DMAs for one BE-edge window at absolute LANE-aligned stream pos s."""
@@ -725,29 +809,41 @@ def _tile_starts_np(row_offsets_np):
 
 
 def _make_fwd_kernel_chunked(negative_slope, temperature,
-                             split_bases=None, mode="softmax"):
+                             split_bases=None, mode="softmax",
+                             dyn128=False):
     """split_bases: static padded chunk-block boundaries — msgs arrives as
     len(split_bases)-1 SEPARATE per-chunk HBM buffers (the per-chunk
     fast-emitter takes, never concatenated); the DMA source is
     branch-selected per window. Desc windows are BE-aligned and the bases
-    are BE multiples, so no window straddles a cut."""
+    are BE multiples, so no window straddles a cut.
+
+    dyn128: half-height one-hot bands per window (see module constant) —
+    the desc_base prefetch array supplies each window's packed 8-aligned
+    base row or -1 (full-height fallback); the online-softmax state lives
+    in [BN, 1] column scratch so band updates are dynamic sublane slices.
+    Out-of-band rows see scale == exp(0) == 1 and a zero dot contribution,
+    so restricting the update to the band is bit-equivalent."""
     n_split = 0 if split_bases is None else len(split_bases) - 1
 
     def kernel(
         doff_ref,         # prefetch: per-tile desc ranges [n_tiles+1]
         desc_ref,         # prefetch: window start positions [ND]
+        dbase_ref,        # prefetch: dyn128 window bases [ND] (or [1] dummy)
         t2r_ref,          # prefetch: tile -> relation slot
         *rest,            # msgs ref(s), dst, att, adst, outs, scratch
     ):
         if split_bases is None:
-            (msgs_ref, dst_ref, att_ref, adst_ref, out_ref, max_ref,
-             sum_ref, msgs_vmem, dst_vmem, sems) = rest
+            msgs_ref = rest[0]
             msgs_refs = None
+            rest = rest[1:]
         else:
             msgs_refs = rest[:n_split]
-            (dst_ref, att_ref, adst_ref, out_ref, max_ref, sum_ref,
-             msgs_vmem, dst_vmem, sems) = rest[n_split:]
             msgs_ref = None
+            rest = rest[n_split:]
+        (dst_ref, att_ref, adst_ref, out_ref, max_ref, sum_ref,
+         msgs_vmem, dst_vmem, sems) = rest[:9]
+        if dyn128:
+            m_col, s_col, adstc = rest[9:12]
         i = pl.program_id(0)
         dlo = doff_ref[i]
         nchunks = doff_ref[i + 1] - dlo
@@ -787,6 +883,118 @@ def _make_fwd_kernel_chunked(negative_slope, temperature,
 
         def wait_chunk(c, slot):
             _chunk_op(c, slot, "wait")
+
+        if dyn128:
+            eye = _eye_bn()
+
+            @pl.when(nchunks > 0)
+            def _nonempty_dyn():
+                start_chunk(0, 0)
+                out_ref[:, :] = jnp.zeros_like(out_ref)
+                adstc[:, :] = _row_to_col(a_dst_row, eye)
+                if mode == "softmax":
+                    m_col[:, :] = jnp.full((BN, 1), NEG_BIG, jnp.float32)
+                    s_col[:, :] = jnp.zeros((BN, 1), jnp.float32)
+
+                def band(slot, b, hh):
+                    dst_row = _lane_concat(dst_vmem.at[slot])
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (hh, BE), 0) + (row_base + b)
+                    onehot_h = rows == dst_row
+                    ohf = onehot_h.astype(jnp.float32)
+                    in_band = jnp.logical_and(
+                        dst_row >= row_base + b,
+                        dst_row < row_base + b + hh)
+                    a_src_row = jax.lax.dot_general(
+                        att_ref[0:1, :].astype(msgs_vmem.dtype),
+                        msgs_vmem[slot],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )                                            # [1, BE]
+                    a_dst_e = jax.lax.dot_general(
+                        adstc[pl.ds(b, hh), :], ohf,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )                                            # [1, BE]
+                    z = a_src_row + a_dst_e
+                    l_row = jnp.where(z >= 0, z,
+                                      negative_slope * z) / temperature
+                    if mode == "softmax":
+                        m_old = m_col[pl.ds(b, hh), :]           # [hh, 1]
+                        m_chunk = jnp.max(
+                            jnp.where(onehot_h, l_row, NEG_BIG),
+                            axis=1, keepdims=True)
+                        m_new = jnp.maximum(m_old, m_chunk)
+                        scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
+                        m_col[pl.ds(b, hh), :] = m_new
+                        m_e = jnp.max(
+                            jnp.where(onehot_h, m_new, NEG_BIG),
+                            axis=0, keepdims=True)
+                        p_row = jnp.exp(jnp.minimum(l_row - m_e, EXP_CLAMP))
+                        p_row = jnp.where(in_band, p_row, 0.0)
+                        w = ohf * p_row
+                        s_col[pl.ds(b, hh), :] = (
+                            s_col[pl.ds(b, hh), :] * scale
+                            + jnp.sum(w, axis=1, keepdims=True))
+                    else:
+                        w_row = _unnorm_weight(l_row, temperature, mode)
+                        w_row = jnp.where(in_band, w_row, 0.0)
+                        w = ohf * w_row
+                        scale = None
+                    agg = jax.lax.dot_general(
+                        w.astype(msgs_vmem.dtype), msgs_vmem[slot],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )                                            # [hh, D]
+                    if mode == "softmax":
+                        out_ref[pl.ds(b, hh), :] = (
+                            out_ref[pl.ds(b, hh), :] * scale + agg)
+                    else:
+                        out_ref[pl.ds(b, hh), :] = (
+                            out_ref[pl.ds(b, hh), :] + agg)
+
+                def body(c, carry):
+                    slot = jax.lax.rem(c, NBUF)
+
+                    @pl.when(c + 1 < nchunks)
+                    def _():
+                        start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+                    wait_chunk(c, slot)
+                    bb = dbase_ref[dlo + c]
+
+                    @pl.when(bb >= 0)
+                    def _half():
+                        band(slot, bb * 8, HALF)
+
+                    @pl.when(bb < 0)
+                    def _full():
+                        band(slot, 0, BN)
+
+                    return carry
+
+                jax.lax.fori_loop(0, nchunks, body, 0)
+                if mode == "softmax":
+                    s = s_col[:, :]
+                    out_ref[:, :] = out_ref[:, :] / (s + EPS)
+                    max_ref[0:1, :] = _col_to_row(m_col[:, :], eye)
+                    sum_ref[0:1, :] = _col_to_row(s, eye)
+                else:
+                    max_ref[0:1, :] = jnp.full((1, BN), NEG_BIG,
+                                               dtype=jnp.float32)
+                    sum_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+
+            @pl.when(nchunks <= 0)
+            def _empty_dyn():
+                out_ref[:, :] = jnp.zeros_like(out_ref)
+                max_ref[0:1, :] = jnp.full((1, BN), NEG_BIG,
+                                           dtype=jnp.float32)
+                sum_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+
+            return
 
         @pl.when(nchunks > 0)
         def _nonempty():
@@ -867,14 +1075,15 @@ def _make_fwd_kernel_chunked(negative_slope, temperature,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "pre_padded", "split_bases", "mode"),
+                     "pre_padded", "split_bases", "mode", "dyn128"),
 )
 def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
-                            tile2rel, n_rows, negative_slope, temperature,
-                            interpret=False, pre_padded=False,
-                            split_bases=None, mode="softmax"):
+                            desc_base, tile2rel, n_rows, negative_slope,
+                            temperature, interpret=False, pre_padded=False,
+                            split_bases=None, mode="softmax", dyn128=False):
     """split_bases: msgs is a TUPLE of per-chunk-block buffers (see
-    _make_fwd_kernel_chunked); dst must already be the padded stream."""
+    _make_fwd_kernel_chunked); dst must already be the padded stream.
+    desc_base: dyn128 per-window packed base rows (dummy [1] when off)."""
     if split_bases is None:
         d = msgs.shape[1]
         dtype = msgs.dtype
@@ -889,35 +1098,44 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
     n_tiles = n_rows // BN
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * len(msgs_args)
             + [
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                pl.BlockSpec((8, d),
+                             lambda i, doff, dsc, dbs, t2r: (t2r[i], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((8, BN),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
             ]
         ),
         out_specs=[
-            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), dtype),
-            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((NBUF, BE, d), dtype),
+                pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+                pltpu.SemaphoreType.DMA((NBUF, 2)),
+            ]
+            + ([
+                pltpu.VMEM((BN, 1), jnp.float32),   # m state column
+                pltpu.VMEM((BN, 1), jnp.float32),   # sum state column
+                pltpu.VMEM((BN, 1), jnp.float32),   # a_dst column
+            ] if dyn128 else [])
+        ),
     )
     out, row_max, row_sum = pl.pallas_call(
         _make_fwd_kernel_chunked(negative_slope, temperature, split_bases,
-                                 mode),
+                                 mode, dyn128),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, d), jnp.float32),
@@ -925,13 +1143,14 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
             jax.ShapeDtypeStruct((n_tiles * 8, BN), jnp.float32),
         ],
         interpret=interpret,
-    )(desc_offsets, desc, tile2rel, *msgs_args, dst_p, att8, adst_tiles)
+    )(desc_offsets, desc, desc_base, tile2rel, *msgs_args, dst_p, att8,
+      adst_tiles)
     return out, row_max, row_sum
 
 
 def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                              split_bases=None, read_bases=None,
-                             mode="softmax"):
+                             mode="softmax", dyn128=False):
     """owned=True consumes a fully-owned (fragment-padded, v3) stream:
     every window's lanes belong to this tile or are sentinels, so dmsgs
     windows are written blind — no read-modify-write stream, no ownership
@@ -955,6 +1174,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
     def kernel(
         doff_ref,
         desc_ref,
+        dbase_ref,        # prefetch: dyn128 window bases [ND] (or [1] dummy)
         t2r_ref,
         *rest,            # msgs ref(s), dst..g, dmsgs out ref(s), scratch
     ):
@@ -978,6 +1198,9 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
             dadst_ref, datt_ref = rest[n_split:n_split + 2]
             dmsgs_ref = None
             scratch = rest[n_split + 2:]
+        if dyn128:
+            adstc, lsec, dotrc, dadstc, datt_s = scratch[-5:]
+            scratch = scratch[:-5]
         if owned:
             msgs_vmem, dst_vmem, dmsgs_out_vmem, sems, wsems = scratch
             dmsgs_old = None
@@ -991,7 +1214,7 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
         a_dst_row = adst_ref[0:1, :]
         att_row = att_ref[0:1, :]
 
-        if mode == "softmax":
+        if mode == "softmax" and not dyn128:
             dot_r = jnp.sum(out_ref[:, :] * g_ref[:, :], axis=1)   # [BN]
             # per-row log-sum-exp: folds the row-max and 1/row-sum masked
             # extracts (two O(BN*BE) passes per window) into ONE
@@ -1054,6 +1277,165 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
                 )
                 dma.start() if op == "start" else dma.wait()
             dispatch_by_bases(s, split_bases, _go)
+
+        if dyn128:
+            eye = _eye_bn()
+
+            @pl.when(nchunks > 0)
+            def _nonempty_dyn():
+                start_chunk(0, 0)
+                adstc[:, :] = _row_to_col(a_dst_row, eye)
+                dadstc[:, :] = jnp.zeros((BN, 1), jnp.float32)
+                datt_s[0:1, :] = jnp.zeros((1, datt_s.shape[1]),
+                                           jnp.float32)
+                if mode == "softmax":
+                    dotrc[:, :] = jnp.sum(out_ref[:, :] * g_ref[:, :],
+                                          axis=1, keepdims=True)
+                    rmax_col = _row_to_col(rmax_ref[0:1, :], eye)
+                    rsum_col = _row_to_col(rsum_ref[0:1, :], eye)
+                    lsec[:, :] = rmax_col + jnp.log(rsum_col + EPS)
+
+                def band(slot, b, hh):
+                    dst_row = _lane_concat(dst_vmem.at[slot])
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (hh, BE), 0) + (row_base + b)
+                    onehot_h = rows == dst_row
+                    ohf = onehot_h.astype(jnp.float32)
+                    in_band = jnp.logical_and(
+                        dst_row >= row_base + b,
+                        dst_row < row_base + b + hh)
+                    a_src_row = jax.lax.dot_general(
+                        att_ref[0:1, :].astype(msgs_vmem.dtype),
+                        msgs_vmem[slot],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )
+                    a_dst_e = jax.lax.dot_general(
+                        adstc[pl.ds(b, hh), :], ohf,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )
+                    z = a_src_row + a_dst_e
+                    l_row = jnp.where(z >= 0, z,
+                                      negative_slope * z) / temperature
+                    g_b = g_ref[pl.ds(b, hh), :]                 # [hh, D]
+                    m2 = jax.lax.dot_general(
+                        g_b.astype(msgs_vmem.dtype), msgs_vmem[slot],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )                                            # [hh, BE]
+                    leaky_d = jnp.where(z >= 0, 1.0, negative_slope)
+                    if mode == "softmax":
+                        lse_b = lsec[pl.ds(b, hh), :]
+                        lse_e = jnp.max(
+                            jnp.where(onehot_h, lse_b, NEG_BIG),
+                            axis=0, keepdims=True)
+                        p_row = jnp.exp(
+                            jnp.minimum(l_row - lse_e, EXP_CLAMP))
+                        p_row = jnp.where(in_band, p_row, 0.0)
+                        w = ohf * p_row                          # [hh, BE]
+                        dl_row = jnp.sum(
+                            w * (m2 - dotrc[pl.ds(b, hh), :]),
+                            axis=0, keepdims=True)               # [1, BE]
+                        dz_row = dl_row * leaky_d / temperature
+                    else:
+                        w_row = _unnorm_weight(l_row, temperature, mode)
+                        w_row = jnp.where(in_band, w_row, 0.0)
+                        w = ohf * w_row
+                        dw_row = jnp.sum(ohf * m2, axis=0,
+                                         keepdims=True)          # [1, BE]
+                        if mode == "sigmoid":
+                            dz_row = (dw_row * w_row * (1.0 - w_row)
+                                      * leaky_d / temperature)
+                        else:                                    # raw
+                            dz_row = dw_row * leaky_d
+                    dz_row = jnp.where(in_band, dz_row, 0.0)
+
+                    new_dmsgs = (jax.lax.dot_general(
+                        w, g_b,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    ) + jax.lax.dot_general(
+                        dz_row, att_row,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )).astype(dmsgs_out_vmem.dtype)              # [BE, D]
+
+                    dadstc[pl.ds(b, hh), :] = (
+                        dadstc[pl.ds(b, hh), :] + jax.lax.dot_general(
+                            ohf, dz_row,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=KERNEL_PRECISION,
+                        ))                                       # [hh, 1]
+                    datt_s[0:1, :] = datt_s[0:1, :] + jax.lax.dot_general(
+                        dz_row.astype(msgs_vmem.dtype), msgs_vmem[slot],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=KERNEL_PRECISION,
+                    )                                            # [1, D]
+                    if owned:
+                        dmsgs_out_vmem[slot] = new_dmsgs
+                    else:
+                        own_col = jax.lax.dot_general(
+                            ohf, jnp.ones((hh, 1), dtype=jnp.float32),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=KERNEL_PRECISION,
+                        )                                        # [BE, 1]
+                        dmsgs_out_vmem[slot] = jnp.where(
+                            own_col > 0.0, new_dmsgs, dmsgs_old[slot]
+                        )
+
+                def body(c, carry):
+                    slot = jax.lax.rem(c, NBUF)
+
+                    @pl.when(c + 1 < nchunks)
+                    def _():
+                        start_chunk(c + 1, jax.lax.rem(c + 1, NBUF))
+
+                    wait_chunk(c, slot)
+
+                    @pl.when(c >= NBUF)
+                    def _():
+                        _write_op(c - NBUF, slot, "wait")
+
+                    bb = dbase_ref[dlo + c]
+
+                    @pl.when(bb >= 0)
+                    def _half():
+                        band(slot, bb * 8, HALF)
+
+                    @pl.when(bb < 0)
+                    def _full():
+                        band(slot, 0, BN)
+
+                    _write_op(c, slot, "start")
+                    return carry
+
+                jax.lax.fori_loop(0, nchunks, body, 0)
+                for tail in range(NBUF):
+                    cc = nchunks - NBUF + tail
+
+                    @pl.when(cc >= 0)
+                    def _(cc=cc):
+                        _write_op(cc, jax.lax.rem(cc, NBUF), "wait")
+                dadst_ref[0:1, :] = _col_to_row(dadstc[:, :], eye)
+                datt_ref[0:1, :] = datt_s[0:1, :]
+
+            @pl.when(nchunks <= 0)
+            def _empty_dyn():
+                dadst_ref[0:1, :] = jnp.zeros((1, BN), dtype=jnp.float32)
+                datt_ref[0:1, :] = jnp.zeros(
+                    (1, datt_ref.shape[1]), dtype=jnp.float32
+                )
+
+            return
 
         @pl.when(nchunks > 0)
         def _nonempty():
@@ -1188,15 +1570,28 @@ def _make_bwd_kernel_chunked(negative_slope, temperature, owned=False,
     return kernel
 
 
+def _dyn128_scratch(d):
+    """Extra VMEM scratch for the dyn128 backward: a_dst / lse / dot_r /
+    d_a_dst state columns + the d_att accumulator row."""
+    return [
+        pltpu.VMEM((BN, 1), jnp.float32),   # a_dst column
+        pltpu.VMEM((BN, 1), jnp.float32),   # lse column
+        pltpu.VMEM((BN, 1), jnp.float32),   # dot_r column
+        pltpu.VMEM((BN, 1), jnp.float32),   # d_a_dst accumulator column
+        pltpu.VMEM((8, d), jnp.float32),    # d_att accumulator row
+    ]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "owned", "mode"),
+                     "owned", "mode", "dyn128"),
 )
 def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
-                             tile2rel, row_max, row_sum, out, g, n_rows,
-                             negative_slope, temperature, interpret=False,
-                             owned=False, mode="softmax"):
+                             desc_base, tile2rel, row_max, row_sum, out, g,
+                             n_rows, negative_slope, temperature,
+                             interpret=False, owned=False, mode="softmax",
+                             dyn128=False):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     # owned (fully fragment-padded) streams are exact BE multiples whose
@@ -1205,51 +1600,54 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
     e_pad = msgs_p.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+            pl.BlockSpec((8, d), lambda i, doff, dsc, dbs, t2r: (t2r[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((BN, d), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, BN), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (i, 0),
+            pl.BlockSpec((8, d), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=(
-            [
-                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-                pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-                pltpu.SemaphoreType.DMA((NBUF, 2)),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-            ] if owned else [
-                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-                pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-                pltpu.VMEM((NBUF, BE, d), msgs.dtype),
-                pltpu.SemaphoreType.DMA((NBUF, 3)),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-            ]
+            (
+                [
+                    pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                    pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+                    pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                    pltpu.SemaphoreType.DMA((NBUF, 2)),
+                    pltpu.SemaphoreType.DMA((NBUF,)),
+                ] if owned else [
+                    pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                    pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+                    pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                    pltpu.VMEM((NBUF, BE, d), msgs.dtype),
+                    pltpu.SemaphoreType.DMA((NBUF, 3)),
+                    pltpu.SemaphoreType.DMA((NBUF,)),
+                ]
+            )
+            + (_dyn128_scratch(d) if dyn128 else [])
         ),
     )
     dmsgs, dadst_tiles, datt_tiles = pl.pallas_call(
         _make_bwd_kernel_chunked(negative_slope, temperature, owned,
-                                 mode=mode),
+                                 mode=mode, dyn128=dyn128),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((e_pad, d), msgs.dtype),
@@ -1259,8 +1657,8 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        desc_offsets, desc, tile2rel, msgs_p, dst_p, att8, adst_tiles,
-        row_max, row_sum, out, g,
+        desc_offsets, desc, desc_base, tile2rel, msgs_p, dst_p, att8,
+        adst_tiles, row_max, row_sum, out, g,
     )
     e = msgs.shape[0]
     return dmsgs[:e], dadst_tiles, datt_tiles
@@ -1283,12 +1681,13 @@ def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
     and runs the zero-RMW backward kernel. mode selects the per-edge
     weight (softmax / sigmoid / raw — reference conv.py:217-223).
     """
+    dbase = _desc_base_cached(None, desc_np, desc_off_np, dst_np, n_rows)
     out, _, _ = _merged_forward_chunked(
         msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, n_rows),
         jnp.asarray(dst_np), jnp.asarray(desc_off_np),
-        jnp.asarray(_nonempty_desc(desc_np)), jnp.asarray(tile2rel_np),
-        n_rows, negative_slope, temperature, interpret, pre_padded=owned,
-        mode=mode,
+        jnp.asarray(_nonempty_desc(desc_np)), jnp.asarray(dbase),
+        jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
+        interpret, pre_padded=owned, mode=mode, dyn128=DYN128,
     )
     return out
 
@@ -1303,11 +1702,13 @@ def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
               owned, mode):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
+    dbase = _desc_base_cached(None, desc_np, desc_off_np, dst_np, n_rows)
     out, row_max, row_sum = _merged_forward_chunked(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
-        jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
-        interpret, pre_padded=owned, mode=mode,
+        jnp.asarray(dbase), jnp.asarray(tile2rel_np), n_rows,
+        negative_slope, temperature, interpret, pre_padded=owned, mode=mode,
+        dyn128=DYN128,
     )
     return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
@@ -1316,11 +1717,13 @@ def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
               negative_slope, temperature, interpret, owned, mode,
               residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
+    dbase = _desc_base_cached(None, desc_np, desc_off_np, dst_np, n_rows)
     dmsgs, dadst_tiles, datt_tiles = _merged_backward_chunked(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(desc_off_np), jnp.asarray(_nonempty_desc(desc_np)),
-        jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
-        negative_slope, temperature, interpret, owned, mode,
+        jnp.asarray(dbase), jnp.asarray(tile2rel_np), row_max, row_sum,
+        out, g, n_rows, negative_slope, temperature, interpret, owned, mode,
+        dyn128=DYN128,
     )
     d_a_dst, d_att = _tile_grads_to_rel(
         dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
@@ -1334,13 +1737,14 @@ fused_gat_layer_chunked.defvjp(_fglc_fwd, _fglc_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "split_bases", "read_bases", "mode"),
+                     "split_bases", "read_bases", "mode", "dyn128"),
 )
 def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
-                                   desc, tile2rel, row_max, row_sum, out, g,
-                                   n_rows, negative_slope, temperature,
-                                   split_bases, interpret=False,
-                                   read_bases=None, mode="softmax"):
+                                   desc, desc_base, tile2rel, row_max,
+                                   row_sum, out, g, n_rows, negative_slope,
+                                   temperature, split_bases, interpret=False,
+                                   read_bases=None, mode="softmax",
+                                   dyn128=False):
     """_merged_backward_chunked (owned) emitting dmsgs as one SEPARATE HBM
     buffer per padded chunk block (split_bases: static BE-multiple cuts) —
     see _make_bwd_kernel_chunked. Empty blocks get a never-written BE-row
@@ -1362,47 +1766,59 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
     n_split = len(split_bases) - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * len(msgs_args)
             + [
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (t2r[i], 0),
+                pl.BlockSpec((8, d),
+                             lambda i, doff, dsc, dbs, t2r: (t2r[i], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((8, BN),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((8, BN),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((8, BN),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((BN, d),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BN, d), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((BN, d),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
             ]
         ),
         out_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * n_split
             + [
-                pl.BlockSpec((8, BN), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((8, BN),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, d), lambda i, doff, dsc, t2r: (i, 0),
+                pl.BlockSpec((8, d),
+                             lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
             ]
         ),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, BE, d), dtype),
-            pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
-            pltpu.VMEM((NBUF, BE, d), dtype),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((NBUF, BE, d), dtype),
+                pltpu.VMEM((NBUF, BR, LANE), jnp.int32),
+                pltpu.VMEM((NBUF, BE, d), dtype),
+                pltpu.SemaphoreType.DMA((NBUF, 2)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+            ]
+            + (_dyn128_scratch(d) if dyn128 else [])
+        ),
     )
     res = pl.pallas_call(
         _make_bwd_kernel_chunked(negative_slope, temperature, owned=True,
                                  split_bases=split_bases,
-                                 read_bases=read_bases, mode=mode),
+                                 read_bases=read_bases, mode=mode,
+                                 dyn128=dyn128),
         grid_spec=grid_spec,
         out_shape=(
             [
@@ -1420,8 +1836,8 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        desc_offsets, desc, tile2rel, *msgs_args, dst_p, att8, adst_tiles,
-        row_max, row_sum, out, g,
+        desc_offsets, desc, desc_base, tile2rel, *msgs_args, dst_p, att8,
+        adst_tiles, row_max, row_sum, out, g,
     )
     return tuple(res[:n_split]), res[n_split], res[n_split + 1]
 
@@ -1448,12 +1864,14 @@ def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
     kgwas/conv.py:227-228.
     """
     parts = _take_tab_parts(tabs, cs)
+    dbase = _desc_base_cached(cs, cs.desc, cs.desc_offsets, cs.dst, aux[3])
     out, _, _ = _merged_forward_chunked(
         parts, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[3]),
         jnp.asarray(cs.dst), jnp.asarray(cs.desc_offsets),
-        jnp.asarray(_nonempty_desc(cs.desc)), jnp.asarray(_aux_t2r(aux)),
-        aux[3], negative_slope, temperature, interpret,
-        split_bases=tuple(int(b) for b in cs.chunk_edge_base), mode=mode,
+        jnp.asarray(_nonempty_desc(cs.desc)), jnp.asarray(dbase),
+        jnp.asarray(_aux_t2r(aux)), aux[3], negative_slope, temperature,
+        interpret, split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+        mode=mode, dyn128=DYN128,
     )
     return out
 
@@ -1479,12 +1897,14 @@ def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
     parts = _take_tab_parts(tabs, cs)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[3])
+    dbase = _desc_base_cached(cs, cs.desc, cs.desc_offsets, cs.dst, aux[3])
     out, row_max, row_sum = _merged_forward_chunked(
         parts, att8, adst_tiles, jnp.asarray(cs.dst),
         jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
-        jnp.asarray(_aux_t2r(aux)), aux[3], negative_slope, temperature,
-        interpret, split_bases=tuple(int(b) for b in cs.chunk_edge_base),
-        mode=mode,
+        jnp.asarray(dbase), jnp.asarray(_aux_t2r(aux)), aux[3],
+        negative_slope, temperature, interpret,
+        split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+        mode=mode, dyn128=DYN128,
     )
     return out, (parts, att8, adst_tiles, row_max, row_sum, out,
                  att.shape[0], tuple(t.shape[0] for t in tabs))
@@ -1499,12 +1919,13 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
      tab_rows) = residuals
     csc_ids_np, csc_offsets_np, n_src_total, n_rows, tile2rel_np = aux
     split_bases = tuple(int(b) for b in cs.chunk_edge_base)
+    dbase = _desc_base_cached(cs, cs.desc, cs.desc_offsets, cs.dst, n_rows)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
         msg_parts, att8, adst_tiles, jnp.asarray(cs.dst),
         jnp.asarray(cs.desc_offsets), jnp.asarray(_nonempty_desc(cs.desc)),
-        jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
-        negative_slope, temperature, split_bases, interpret,
-        read_bases=split_bases, mode=mode,
+        jnp.asarray(dbase), jnp.asarray(tile2rel_np), row_max, row_sum,
+        out, g, n_rows, negative_slope, temperature, split_bases, interpret,
+        read_bases=split_bases, mode=mode, dyn128=DYN128,
     )
     if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
         # per-chunk cotangent takes stay SEPARATE into the split-input
@@ -1585,12 +2006,14 @@ def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
     aux: (n_src_total, n_rows, tile2rel_np).
     """
     msgs = jnp.take(xs_all, jnp.asarray(lay.src), axis=0)
+    dbase = _desc_base_cached(lay, lay.desc, lay.desc_offsets, lay.dst,
+                              aux[1])
     out, _, _ = _merged_forward_chunked(
         msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[1]),
         jnp.asarray(lay.dst), jnp.asarray(lay.desc_offsets),
-        jnp.asarray(_nonempty_desc(lay.desc)), jnp.asarray(aux[2]),
-        aux[1], negative_slope, temperature, interpret, pre_padded=True,
-        mode=mode,
+        jnp.asarray(_nonempty_desc(lay.desc)), jnp.asarray(dbase),
+        jnp.asarray(aux[2]), aux[1], negative_slope, temperature, interpret,
+        pre_padded=True, mode=mode, dyn128=DYN128,
     )
     return out
 
@@ -1600,11 +2023,13 @@ def _fglpg_fwd(xs_all, att, a_dst_all, lay, aux, negative_slope, temperature,
     msgs = jnp.take(xs_all, jnp.asarray(lay.src), axis=0)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[1])
+    dbase = _desc_base_cached(lay, lay.desc, lay.desc_offsets, lay.dst,
+                              aux[1])
     out, row_max, row_sum = _merged_forward_chunked(
         msgs, att8, adst_tiles, jnp.asarray(lay.dst),
         jnp.asarray(lay.desc_offsets), jnp.asarray(_nonempty_desc(lay.desc)),
-        jnp.asarray(aux[2]), aux[1], negative_slope, temperature, interpret,
-        pre_padded=True, mode=mode,
+        jnp.asarray(dbase), jnp.asarray(aux[2]), aux[1], negative_slope,
+        temperature, interpret, pre_padded=True, mode=mode, dyn128=DYN128,
     )
     return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
@@ -1616,11 +2041,14 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, mode,
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
     n_src_total, n_rows, tile2rel_np = aux
     split_bases = tuple(int(b) for b in lay.cut_bases)
+    dbase = _desc_base_cached(lay, lay.desc, lay.desc_offsets, lay.dst,
+                              n_rows)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
         msgs, att8, adst_tiles, jnp.asarray(lay.dst),
         jnp.asarray(lay.desc_offsets), jnp.asarray(_nonempty_desc(lay.desc)),
-        jnp.asarray(tile2rel_np), row_max, row_sum, out, g, n_rows,
-        negative_slope, temperature, split_bases, interpret, mode=mode,
+        jnp.asarray(dbase), jnp.asarray(tile2rel_np), row_max, row_sum,
+        out, g, n_rows, negative_slope, temperature, split_bases, interpret,
+        mode=mode, dyn128=DYN128,
     )
     if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
         # per-cut cotangent takes stay SEPARATE into the split-input

@@ -124,3 +124,31 @@ def storey_tibshirani_integrate(gwas_data, column="pred", num_bins=100):
 
 # reference-compatible alias (typo preserved at reference eval_utils.py:539)
 storey_ribshirani_integrate = storey_tibshirani_integrate
+
+
+def finalize_predictions(lr_uni, pred):
+    """The reference train() tail (reference kgwas/kgwas.py:186-212):
+    attach per-SNP predictions, run the 500-bin Storey–Tibshirani
+    reweighting on |pred|, calibrate with the find_closest_x scale factor,
+    clip to [0, 1]. MUTATES lr_uni exactly as the reference does (adds
+    pred/abs_pred/SR_P_val/SR columns) and returns
+    (lr_uni_to_save, scale_factor) where lr_uni_to_save carries
+    P_weighted and KGWAS_P. Extracted as a function so the chaining can be
+    oracle-tested against the reference tail on identical inputs
+    (tests/test_e2e_reference_pipeline.py)."""
+    lr_uni["pred"] = pred
+    lr_uni_to_save = lr_uni.copy(deep=True)
+
+    lr_uni["abs_pred"] = np.abs(lr_uni["pred"])
+    lr_uni["SR_P_val"] = storey_tibshirani_integrate(
+        lr_uni, column="abs_pred", num_bins=500
+    )
+    lr_uni["SR"] = -(np.log10(lr_uni["SR_P_val"].astype(float).values))
+    lr_uni_to_save["P_weighted"] = lr_uni["SR_P_val"]
+
+    scale_factor = find_closest_x(lr_uni_to_save)
+    lr_uni_to_save["KGWAS_P"] = scale_factor * lr_uni_to_save["P_weighted"]
+    lr_uni_to_save["KGWAS_P"] = lr_uni_to_save["KGWAS_P"].clip(
+        lower=0, upper=1
+    )
+    return lr_uni_to_save, scale_factor
