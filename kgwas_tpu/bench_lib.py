@@ -23,6 +23,12 @@ import time
 
 import numpy as np
 
+# LABELED ESTIMATE for the A100/PyG reference (no A100 in this environment;
+# the reference publishes no numbers). Measured anchor (round 3,
+# scripts/exp_cpu_baseline.py + BASELINE.md): the reference pipeline run
+# verbatim on this host's CPU sustains ~2.4e6 edge-traversals/s at parity
+# with this engine's CPU backend; the estimate assumes ~8x CPU->A100 for
+# the torch/PyG stack.
 REF_EDGE_TRAVERSALS_PER_SEC_A100 = 2.0e7
 
 
@@ -44,6 +50,7 @@ def main():
     layers = int(os.environ.get("BENCH_LAYERS", 2))
     batch = int(os.environ.get("BENCH_BATCH", 512))
     steps = int(os.environ.get("BENCH_STEPS", 20))
+    heads = int(os.environ.get("BENCH_HEADS", 1))
     dtype = os.environ.get("BENCH_DTYPE", "float32")
     stream_dtype = os.environ.get("BENCH_STREAM_DTYPE") or None
     # XLA-side model-matmul precision override (kernel dots are pinned to
@@ -75,6 +82,7 @@ def main():
     cfg = ModelConfig(
         gnn_hidden_dim=hidden,
         gnn_num_layers=layers,
+        gat_num_head=heads,
         gnn_backbone="GAT",
         compute_dtype=dtype,
         stream_dtype=stream_dtype,

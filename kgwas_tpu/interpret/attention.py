@@ -21,7 +21,17 @@ def attention_tables(params, model_cfg, meta, arrays, relations) -> pd.DataFrame
     with columns h_idx, t_idx, weight, h_type, rel_type, t_type, layer."""
     layers = apply_collect_attention(params, model_cfg, meta, arrays, raw=True)
 
+    # parallel-edge dedup (reference utils.py:493 drop_duplicates) done
+    # per (relation, layer) group with a packed-int64 numpy key keeping the
+    # FIRST occurrence — a global pandas drop_duplicates over the full
+    # mixed-dtype table was 20+ s of the measured 33 s at 200k-SNP scale
+    # (scripts/exp_interpret_bench.py). Per-group dedup is equivalent when
+    # rel_type strings are unique per group; the rare collision case falls
+    # back to the global pass.
     frames = []
+    rel_names = [relations[rk].rel for rk in
+                 (layers[0].keys() if layers else [])]
+    names_unique = len(set(rel_names)) == len(rel_names)
     for li, alphas in enumerate(layers):
         layer_name = f"l{li + 1}"
         for rk, alpha in alphas.items():
@@ -30,11 +40,17 @@ def attention_tables(params, model_cfg, meta, arrays, relations) -> pd.DataFrame
             a = np.asarray(alpha)[:e]
             if a.ndim == 2:  # [E, H] -> mean over heads (reference is H=1)
                 a = a.mean(axis=1)
+            h = rel.src[:e].astype(np.int64)
+            t = rel.dst[:e].astype(np.int64)
+            if names_unique:
+                _, first = np.unique((h << 32) | t, return_index=True)
+                first.sort()  # drop_duplicates keeps first, original order
+                h, t, a = h[first], t[first], a[first]
             frames.append(
                 pd.DataFrame(
                     {
-                        "h_idx": rel.src[:e].astype(np.int64),
-                        "t_idx": rel.dst[:e].astype(np.int64),
+                        "h_idx": h,
+                        "t_idx": t,
                         "weight": a.astype(np.float64),
                         "h_type": rel.src_type,
                         "rel_type": rel.rel,
@@ -44,8 +60,9 @@ def attention_tables(params, model_cfg, meta, arrays, relations) -> pd.DataFrame
                 )
             )
     df = pd.concat(frames, ignore_index=True)
-    # reference dedupes parallel edges (utils.py:493)
-    return df.drop_duplicates(["h_idx", "t_idx", "rel_type", "layer"])
+    if not names_unique:  # reference dedupes parallel edges (utils.py:493)
+        df = df.drop_duplicates(["h_idx", "t_idx", "rel_type", "layer"])
+    return df
 
 
 def get_network_weight(run, data) -> pd.DataFrame:

@@ -1892,6 +1892,27 @@ def _aux_t2r(aux):
     return aux[4]
 
 
+def _assemble_grouped_cotangents(bufs, perms, d, dtype):
+    """Per-cut fast-emitter takes written into ONE preallocated grouped
+    buffer via static-slice updates instead of a concatenate — XLA fuses
+    each gather into its destination slice, eliminating the [E, D]
+    concat copy pass (~7 ms/step in the 200k trace). Pad-tail rows keep
+    the zeros init; the padded segsum ids route them to the trash row.
+    Opt-in via KGWAS_DUS_ASSEMBLE (composed A/B decides the default)."""
+    from .pallas_segment import padded_stream_len
+
+    e = sum(len(p) for p in perms)
+    out = jnp.zeros((padded_stream_len(e), d), dtype)
+    o = 0
+    for k, p in enumerate(perms):
+        if not len(p):
+            continue
+        t = jnp.take(bufs[k], jnp.asarray(p), axis=0)
+        out = jax.lax.dynamic_update_slice(out, t, (o, 0))
+        o += len(p)
+    return out
+
+
 def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
               interpret, mode):
     parts = _take_tab_parts(tabs, cs)
@@ -1950,18 +1971,23 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
                                      pallas_segment_sum)
 
         # per-chunk cotangent takes (fast emitter) -> one CSC-ordered
-        # concat (+ zeros pad part riding the same pass) -> plain
-        # contiguous segment-sum over the src space
+        # grouped buffer -> plain contiguous segment-sum over the src
+        # space. Assembly: concat pass, or DUS writes into one buffer
+        # (KGWAS_DUS_ASSEMBLE=1 — no separate copy pass)
         d = msg_parts[0].shape[1]
-        parts = [
-            jnp.take(bufs[c], jnp.asarray(cs.local_perm[c]), axis=0)
-            for c in range(cs.n_chunks) if len(cs.local_perm[c])
-        ]
-        if parts:
-            e = sum(len(p) for p in cs.local_perm)
-            parts.append(jnp.zeros((padded_stream_len(e) - e, d),
-                                   parts[0].dtype))
-            g_sorted = jnp.concatenate(parts, axis=0)
+        if any(len(p) for p in cs.local_perm):
+            if os.environ.get("KGWAS_DUS_ASSEMBLE", "0") == "1":
+                g_sorted = _assemble_grouped_cotangents(
+                    bufs, cs.local_perm, d, msg_parts[0].dtype)
+            else:
+                parts = [
+                    jnp.take(bufs[c], jnp.asarray(cs.local_perm[c]), axis=0)
+                    for c in range(cs.n_chunks) if len(cs.local_perm[c])
+                ]
+                e = sum(len(p) for p in cs.local_perm)
+                parts.append(jnp.zeros((padded_stream_len(e) - e, d),
+                                       parts[0].dtype))
+                g_sorted = jnp.concatenate(parts, axis=0)
             dx = pallas_segment_sum(
                 g_sorted,
                 jnp.asarray(pad_stream_ids_np(csc_ids_np, n_src_total)),
@@ -2073,17 +2099,22 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, mode,
     else:
         from .pallas_segment import pad_stream_ids_np, padded_stream_len
 
-        # per-cut fast-emitter takes -> one cut-grouped concat (+ zeros
-        # pad part riding the same pass) -> windowed segment-sum
-        parts = [
-            jnp.take(bufs[k], jnp.asarray(lay.local_perm[k]), axis=0)
-            for k in range(len(bufs)) if len(lay.local_perm[k])
-        ]
-        if parts:
-            e = sum(len(p) for p in lay.local_perm)
-            parts.append(jnp.zeros((padded_stream_len(e) - e,
-                                    parts[0].shape[1]), parts[0].dtype))
-            gc = jnp.concatenate(parts, axis=0)
+        # per-cut fast-emitter takes -> one cut-grouped buffer -> windowed
+        # segment-sum. Assembly: concat pass, or DUS writes into one
+        # buffer (KGWAS_DUS_ASSEMBLE=1 — no separate copy pass)
+        if any(len(p) for p in lay.local_perm):
+            if os.environ.get("KGWAS_DUS_ASSEMBLE", "0") == "1":
+                gc = _assemble_grouped_cotangents(
+                    bufs, lay.local_perm, msgs.shape[1], msgs.dtype)
+            else:
+                parts = [
+                    jnp.take(bufs[k], jnp.asarray(lay.local_perm[k]), axis=0)
+                    for k in range(len(bufs)) if len(lay.local_perm[k])
+                ]
+                e = sum(len(p) for p in lay.local_perm)
+                parts.append(jnp.zeros((padded_stream_len(e) - e,
+                                        parts[0].shape[1]), parts[0].dtype))
+                gc = jnp.concatenate(parts, axis=0)
             dx = segment_sum_windows(
                 gc, jnp.asarray(pad_stream_ids_np(lay.sum_ids, n_src_total)),
                 jnp.asarray(lay.sum_desc if len(lay.sum_desc)
