@@ -89,6 +89,47 @@ def main():
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{dur/1e3/3:9.3f} ms/step  {name[:110]}")
 
+    # -- glue attribution: bucket EVERY op by family, and map the top
+    # fusions to their HLO bodies so the tail is attributable --
+    import collections
+    import re
+
+    fam = collections.Counter()
+    for name, dur in agg.items():
+        if name.startswith("jit_train_step") or name in ("0", "1", "2"):
+            continue  # step envelope / per-step lanes, double counts
+        base = re.sub(r"[.\d]+$", "", name)
+        fam[base] += dur
+    print("\n-- op families (ms/step, full tail) --")
+    for base, dur in fam.most_common(30):
+        print(f"{dur/1e3/3:9.3f}  {base[:90]}")
+
+    if os.environ.get("TRACE_HLO", "1") == "1":
+        txt = train_step.lower(
+            p, o, arrays, bidx, y, w).compile().as_text()
+        bodies = {}
+        for line in txt.splitlines():
+            if "fusion(" in line:
+                mname = re.search(r"%?([\w.\-]+) = ", line)
+                calls = re.search(r"calls=%?([\w.\-]+)", line)
+                if mname and calls:
+                    bodies[mname.group(1)] = calls.group(1)
+        comp_root, cur = {}, None
+        for line in txt.splitlines():
+            m = re.match(r"%?([\w.\-]+)\s*\(", line)
+            if m and not line.startswith(" "):
+                cur = m.group(1)
+            if cur and "ROOT" in line:
+                comp_root[cur] = line.strip()[:200]
+        print("\n-- top-fusion HLO roots --")
+        shown = 0
+        for name, dur in sorted(agg.items(), key=lambda kv: -kv[1]):
+            key = name.split("(")[0]
+            if key in bodies and shown < 25:
+                root = comp_root.get(bodies[key], "?")
+                print(f"{dur/1e3/3:9.3f}  {key}: {root}")
+                shown += 1
+
 
 if __name__ == "__main__":
     main()
