@@ -78,7 +78,8 @@ def main():
         avg_degree=avg_degree,
         seed=0,
     )
-    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+    node_pad = int(os.environ.get("BENCH_NODE_PAD", 256))
+    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=node_pad)
     cfg = ModelConfig(
         gnn_hidden_dim=hidden,
         gnn_num_layers=layers,

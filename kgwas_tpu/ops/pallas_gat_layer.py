@@ -68,7 +68,7 @@ from .pallas_segment import (
 # transposes on the MXU.
 # ---------------------------------------------------------------------------
 HALF = 128
-DYN128 = (os.environ.get("KGWAS_DYN128", "1") == "1") and BN == 2 * HALF
+DYN128 = (os.environ.get("KGWAS_DYN128", "1") == "1") and BN >= 2 * HALF
 
 
 def _desc_base_np(desc_np, desc_off_np, dst_np, n_rows):

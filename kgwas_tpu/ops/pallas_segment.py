@@ -50,7 +50,9 @@ LANE = 128
 # KGWAS_PALLAS_BN=128 halves the one-hot VPU work per tile for experiments.
 # Read once at import — layouts (graph/merged_layout.py) key off it.
 BN = int(_os.environ.get("KGWAS_PALLAS_BN", "256"))
-assert BN % LANE == 0 and 256 % BN == 0, BN
+# BN > 256 requires every per-relation row block (and src block) to be a
+# BN multiple — pass node_pad_multiple=BN to compile_graph (layouts assert)
+assert BN % LANE == 0 and BN in (128, 256, 512), BN
 
 _BN128_WARNED = False
 

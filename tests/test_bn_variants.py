@@ -1,0 +1,63 @@
+"""BN tile-size variants: parity of the merged Pallas path at BN=512.
+
+BN (dst rows per kernel tile) is read once at import
+(ops/pallas_segment.py), so each variant runs in a SUBPROCESS. BN=512
+requires node_pad_multiple=512 so every per-relation row/src block is a
+whole number of tiles (graph/merged_layout.py asserts). dyn128 stays
+active at BN=512 (band height HALF=128 < BN), so this also covers the
+generalized `BN >= 2*HALF` dyn128 gate.
+"""
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+# sitecustomize may have pinned the axon platform at startup; flip before
+# any backend initializes (same dance as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+import numpy as np, jax.numpy as jnp
+from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.models import init_hetero_gnn
+from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+from kgwas_tpu.ops.pallas_segment import BN
+from kgwas_tpu.ops.pallas_gat_layer import DYN128
+
+assert BN == 512, BN
+assert DYN128, "dyn128 must stay active at BN=512 (BN >= 2*HALF)"
+g = make_synthetic_kg(n_snp=3000, n_gene=600, n_go=250, seed=5)
+cg = compile_graph(g, edge_pad_multiple=512, node_pad_multiple=512)
+meta = cg.meta()
+arrays = cg.arrays()
+outs = {}
+for pallas in (True, False):
+    cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                      use_pallas=pallas)
+    params = init_hetero_gnn(jax.random.PRNGKey(7), cfg, meta, 20, 32, 16)
+
+    def loss(p):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays, training=True)
+        return jnp.sum(pred[:, 0] ** 2) / pred.shape[0]
+
+    l, gr = jax.value_and_grad(loss)(params)
+    outs[pallas] = (float(l), gr)
+d = jax.tree_util.tree_map(
+    lambda a, b: float(jnp.max(jnp.abs(a - b))), outs[True][1],
+    outs[False][1])
+mx = max(jax.tree_util.tree_leaves(d))
+assert abs(outs[True][0] - outs[False][0]) < 1e-5, outs
+assert mx < 1e-4, mx
+print("BN512_PARITY_OK")
+"""
+
+
+def test_bn512_merged_parity_vs_xla():
+    env = dict(os.environ, KGWAS_PALLAS_BN="512", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", _CHILD], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "BN512_PARITY_OK" in r.stdout
