@@ -58,21 +58,26 @@ _BN128_WARNED = False
 
 
 def _check_bn_supported():
-    """BN=128 is known to kill the COMPOSED train step on real TPU above
-    ~25-50k SNPs with an opaque 'TPU backend error (Internal)' even though
-    every kernel passes in isolation (ROADMAP.md; repro
-    scripts/debug_bn128_repro.py). Warn loudly on the TPU backend; CPU
-    interpret experiments stay allowed."""
+    """BN=128 composed programs fail PROBABILISTICALLY on real TPU above
+    ~25-50k SNPs — a hang or an opaque 'TPU backend error (Internal)';
+    the same binary program can pass or fail across runs. Every kernel
+    passes deterministically in isolation at any scale, so this is a
+    backend/runtime defect under multi-kernel composition, fully
+    characterized by the staged harnesses scripts/debug_bn128_{distill,
+    model_bisect,kernel_compose}.py (benchmarks/RESULTS.md). Warn loudly
+    on the TPU backend; CPU interpret experiments stay allowed. BN=512
+    is parity-tested (tests/test_bn_variants.py) and requires
+    node_pad_multiple=512."""
     global _BN128_WARNED
-    if BN != 256 and not _BN128_WARNED and jax.default_backend() == "tpu":
+    if BN < 256 and not _BN128_WARNED and jax.default_backend() == "tpu":
         _BN128_WARNED = True
         import warnings
 
         warnings.warn(
-            f"KGWAS_PALLAS_BN={BN} is unstable on the TPU backend for "
-            "composed train steps above ~25k SNPs (opaque 'TPU backend "
-            "error (Internal)'); use the default BN=256 for real runs. "
-            "See ROADMAP.md / scripts/debug_bn128_repro.py.",
+            f"KGWAS_PALLAS_BN={BN} composed programs fail probabilistically "
+            "on the TPU backend above ~25k SNPs (hang or 'TPU backend error "
+            "(Internal)'); use BN>=256 for real runs. See "
+            "benchmarks/RESULTS.md and scripts/debug_bn128_*.py.",
             RuntimeWarning,
             stacklevel=3,
         )
