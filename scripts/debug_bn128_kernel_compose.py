@@ -74,6 +74,14 @@ def child(idx_csv, repeat=1):
     # staged markers: a timeout BEFORE 'COMPILED' is a slow compile (infra),
     # AFTER it is a real execution hang (one of the two observed failure
     # modes; the other raises 'TPU backend error (Internal)')
+    prec = os.environ.get("COMPOSE_MM_PRECISION")  # model uses "highest"
+    if prec:
+        f_in = f
+
+        def f(h):
+            with jax.default_matmul_precision(prec):
+                return f_in(h)
+
     compiled = jax.jit(f).lower(h).compile()
     print("COMPILED", flush=True)
     val = compiled(h)
