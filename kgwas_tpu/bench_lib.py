@@ -166,6 +166,8 @@ def main():
     traversals_per_step = real_edges * layers
     value = traversals_per_step * steps / dt
 
+    from kgwas_tpu.ops.pallas_segment import BN as effective_bn
+
     print(
         json.dumps(
             {
@@ -173,6 +175,18 @@ def main():
                 "value": round(value, 1),
                 "unit": "edge_traversals/s",
                 "vs_baseline": round(value / REF_EDGE_TRAVERSALS_PER_SEC_A100, 3),
+                # self-describing config echo: bench results are comparable
+                # across rounds only with these pinned (advisor round 3)
+                "config": {
+                    "pallas_bn": effective_bn,
+                    "node_pad": node_pad,
+                    "n_snp": n_snp,
+                    "edges": real_edges,
+                    "layers": layers,
+                    "dtype": dtype,
+                    "scan": scan_steps,
+                    "step_ms": round(dt / steps * 1e3, 2),
+                },
             }
         )
     )

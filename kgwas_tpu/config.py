@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -106,6 +108,21 @@ class ModelConfig:
                                      # slow big-table gather regime
                                      # (> 131072 rows); see
                                      # graph/merged_layout.ChunkedStreamLayout
+
+    def __post_init__(self):
+        # KGWAS_STREAM_F32_LOGITS predates the stream_f32_logits field; honor
+        # it as a fallback so older probe scripts don't silently run with
+        # rounded logits (advisor round 3), but warn toward the config field.
+        env = os.environ.get("KGWAS_STREAM_F32_LOGITS")
+        if env is not None and not self.stream_f32_logits:
+            warnings.warn(
+                "KGWAS_STREAM_F32_LOGITS env var is deprecated; set "
+                "ModelConfig(stream_f32_logits=True) instead "
+                "(env value honored this run)",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            object.__setattr__(self, "stream_f32_logits", env == "1")
 
     def to_dict(self):
         return dataclasses.asdict(self)

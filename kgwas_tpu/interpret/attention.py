@@ -19,47 +19,88 @@ from ..utils import print_sys
 def attention_tables(params, model_cfg, meta, arrays, relations) -> pd.DataFrame:
     """Run the interpretation forward and produce the edge-weight DataFrame
     with columns h_idx, t_idx, weight, h_type, rel_type, t_type, layer."""
+    import jax.numpy as jnp
+
     layers = apply_collect_attention(params, model_cfg, meta, arrays, raw=True)
 
     # parallel-edge dedup (reference utils.py:493 drop_duplicates) done
     # per (relation, layer) group with a packed-int64 numpy key keeping the
     # FIRST occurrence — a global pandas drop_duplicates over the full
     # mixed-dtype table was 20+ s of the measured 33 s at 200k-SNP scale
-    # (scripts/exp_interpret_bench.py). Per-group dedup is equivalent when
-    # rel_type strings are unique per group; the rare collision case falls
-    # back to the global pass.
-    frames = []
-    rel_names = [relations[rk].rel for rk in
-                 (layers[0].keys() if layers else [])]
+    # (scripts/exp_interpret_bench.py). Per-group dedup is equivalent only
+    # when rel_type strings are unique across the UNION of all layers'
+    # relation keys; the rare collision case falls back to the global pass.
+    all_keys: set = set()
+    for alphas in layers:
+        all_keys.update(alphas.keys())
+    rel_names = [relations[rk].rel for rk in all_keys]
     names_unique = len(set(rel_names)) == len(rel_names)
+
+    # ONE batched device->host transfer: slice off edge padding, head-mean,
+    # and concat on device, then a single host read. The previous form did
+    # one np.asarray per (relation, layer) — 60 transfers of PADDED arrays
+    # at 200k-SNP scale, most of the measured 24.3 s host tail.
+    specs = []  # (layer_idx, relkey, num_edges)
+    chunks = []
     for li, alphas in enumerate(layers):
-        layer_name = f"l{li + 1}"
         for rk, alpha in alphas.items():
-            rel = relations[rk]
-            e = rel.num_edges
-            a = np.asarray(alpha)[:e]
+            e = relations[rk].num_edges
+            a = alpha[:e]
             if a.ndim == 2:  # [E, H] -> mean over heads (reference is H=1)
                 a = a.mean(axis=1)
-            h = rel.src[:e].astype(np.int64)
-            t = rel.dst[:e].astype(np.int64)
-            if names_unique:
-                _, first = np.unique((h << 32) | t, return_index=True)
-                first.sort()  # drop_duplicates keeps first, original order
-                h, t, a = h[first], t[first], a[first]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "h_idx": h,
-                        "t_idx": t,
-                        "weight": a.astype(np.float64),
-                        "h_type": rel.src_type,
-                        "rel_type": rel.rel,
-                        "t_type": rel.dst_type,
-                        "layer": layer_name,
-                    }
-                )
-            )
-    df = pd.concat(frames, ignore_index=True)
+            chunks.append(a.astype(jnp.float32))
+            specs.append((li, rk, e))
+    if not chunks:
+        return pd.DataFrame(
+            columns=["h_idx", "t_idx", "weight", "h_type", "rel_type",
+                     "t_type", "layer"]
+        )
+    flat_w = np.asarray(jnp.concatenate(chunks), dtype=np.float64)
+
+    # numpy-native assembly: index/weight columns concatenated once; the
+    # four constant-per-group string columns become categoricals built from
+    # np.repeat'ed codes (no object-dtype intermediate frames, no pd.concat).
+    hs, ts, ws = [], [], []
+    groups = []  # (h_type, rel, t_type, layer_name, rows)
+    off = 0
+    for li, rk, e in specs:
+        rel = relations[rk]
+        a = flat_w[off:off + e]
+        off += e
+        h = rel.src[:e].astype(np.int64)
+        t = rel.dst[:e].astype(np.int64)
+        if names_unique:
+            _, first = np.unique((h << 32) | t, return_index=True)
+            first.sort()  # drop_duplicates keeps first, original order
+            h, t, a = h[first], t[first], a[first]
+        hs.append(h)
+        ts.append(t)
+        ws.append(a)
+        groups.append((rel.src_type, rel.rel, rel.dst_type, f"l{li + 1}",
+                       len(h)))
+
+    lengths = np.array([g[4] for g in groups], dtype=np.int64)
+
+    def _cat(col: int) -> pd.Categorical:
+        vals = [g[col] for g in groups]
+        cats = list(dict.fromkeys(vals))
+        idx = {v: i for i, v in enumerate(cats)}
+        codes = np.repeat(
+            np.array([idx[v] for v in vals], dtype=np.int32), lengths
+        )
+        return pd.Categorical.from_codes(codes, categories=cats)
+
+    df = pd.DataFrame(
+        {
+            "h_idx": np.concatenate(hs),
+            "t_idx": np.concatenate(ts),
+            "weight": np.concatenate(ws),
+            "h_type": _cat(0),
+            "rel_type": _cat(1),
+            "t_type": _cat(2),
+            "layer": _cat(3),
+        }
+    )
     if not names_unique:  # reference dedupes parallel edges (utils.py:493)
         df = df.drop_duplicates(["h_idx", "t_idx", "rel_type", "layer"])
     return df

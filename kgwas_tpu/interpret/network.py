@@ -55,7 +55,13 @@ def _max_over_parallel(df: pd.DataFrame, importance_col="z_rel") -> pd.DataFrame
         right_on=["h_idx", "t_idx", importance_col],
         how="left",
     )
-    return merged[["h_idx", "t_idx", "importance", "h_type", "t_type", "rel_type"]]
+    out = merged[["h_idx", "t_idx", "importance", "h_type", "t_type", "rel_type"]]
+    # attention_tables emits rel_type as a pandas Categorical (fast assembly);
+    # callers mutate rel_type with sliced strings (x[4:], x.split('-')[1]),
+    # which a Categorical rejects — decategorize at this boundary
+    if isinstance(out["rel_type"].dtype, pd.CategoricalDtype):
+        out = out.assign(rel_type=out["rel_type"].astype(str))
+    return out
 
 
 def get_local_interpretation(query_snp, v2g, g2g, g2p, g2v, id2idx, K_neighbors):

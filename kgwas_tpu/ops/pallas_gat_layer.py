@@ -102,13 +102,28 @@ def _desc_base_np(desc_np, desc_off_np, dst_np, n_rows):
     return out
 
 
+# id-keyed memo for call sites that pass layout_obj=None (the chunked
+# wrappers' fwd AND bwd retrace paths — advisor round 3: the O(E) numpy
+# descriptor scan reran on every retrace). The stored array refs keep the
+# keyed ids alive, so an id can't be recycled while its entry exists.
+_DESC_BASE_MEMO: dict = {}
+
+
 def _desc_base_cached(layout_obj, desc_np, desc_off_np, dst_np, n_rows):
     """_desc_base_np with the result stashed on the (static, identity-
     compared) layout object so repeated traces don't recompute it."""
     if not DYN128:
         return np.full(1, -1, np.int32)
     if layout_obj is None:
-        return _desc_base_np(desc_np, desc_off_np, dst_np, n_rows)
+        key = (id(desc_np), id(desc_off_np), id(dst_np), int(n_rows))
+        hit = _DESC_BASE_MEMO.get(key)
+        if hit is not None:
+            return hit[1]
+        base = _desc_base_np(desc_np, desc_off_np, dst_np, n_rows)
+        if len(_DESC_BASE_MEMO) >= 64:  # bounded: FIFO-evict the oldest
+            _DESC_BASE_MEMO.pop(next(iter(_DESC_BASE_MEMO)))
+        _DESC_BASE_MEMO[key] = ((desc_np, desc_off_np, dst_np), base)
+        return base
     cached = getattr(layout_obj, "_dyn128_base", None)
     if cached is None:
         cached = _desc_base_np(desc_np, desc_off_np, dst_np, n_rows)
