@@ -15,5 +15,14 @@ try:  # engine pulls in jax; keep graph/stats importable without it
     from .cohort.ukbb import ukbb_cohort
 
     __all__ += ["KGWAS", "KGWAS_Data", "ukbb_cohort"]
+
+    # Persistent XLA compilation cache, package-wide: TPU compiles of the
+    # standard demo/bench shapes run minutes; every entry point (not just
+    # KGWAS.__init__, which already did this) should hit the disk cache.
+    # No-op if jax lacks the knobs or the dir is unwritable; disable with
+    # KGWAS_TPU_CACHE_DIR="".
+    from .utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 except ImportError:  # pragma: no cover
     pass

@@ -176,6 +176,60 @@ def cmd_bench(args):
     bench_main()
 
 
+# standard shapes worth pre-compiling: (n_snp, hidden) of the offline demo,
+# the calibration protocol (scripts/run_calibration.py), and the driver bench
+_WARM_SHAPES = {
+    "demo": dict(n_snp=2_000, hidden=128),
+    "calib": dict(n_snp=50_000, hidden=128),
+    "bench": dict(n_snp=200_000, hidden=128),
+}
+
+
+def cmd_warm_cache(args):
+    """Populate the persistent XLA compilation cache for the standard
+    shapes, so later cold starts (new processes, cron jobs, elastic
+    restarts) deserialize instead of recompiling. TPU compiles of the
+    bench shape run minutes; a warmed cache cuts that to seconds."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import ModelConfig
+    from .engine.loop import build_optimizer, make_train_step
+    from .graph import compile_graph, make_synthetic_kg
+    from .models import init_hetero_gnn
+
+    for name in args.shapes:
+        spec = _WARM_SHAPES[name]
+        n_snp = spec["n_snp"]
+        t0 = time.time()
+        g = make_synthetic_kg(
+            n_snp=n_snp, n_gene=max(n_snp // 10, 40),
+            n_go=max(n_snp // 17, 20), snp_dim=20, gene_dim=128, go_dim=128,
+            avg_degree=6, seed=0)
+        cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+        cfg = ModelConfig(
+            gnn_hidden_dim=spec["hidden"], gnn_num_layers=2,
+            use_pallas=jax.default_backend() == "tpu")
+        meta = cg.meta()
+        params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta,
+                                 20, 128, 128)
+        arrays = jax.device_put(cg.arrays())
+        optimizer = build_optimizer(1e-4, 5e-4)
+        opt_state = optimizer.init(params)
+        step = make_train_step(cfg, meta, optimizer)
+        n_pad = cg.padded_nodes["SNP"]
+        y = jnp.zeros(n_pad, jnp.float32)
+        w = jnp.ones(n_pad, jnp.float32)
+        idx = jnp.zeros(512, jnp.int32)
+        params, opt_state, loss = step(params, opt_state, arrays, idx, y, w)
+        _ = float(loss)
+        print(f"[warm-cache] {name} (n_snp={n_snp}): train step compiled "
+              f"in {time.time() - t0:.1f}s")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kgwas-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -244,6 +298,13 @@ def main(argv=None):
     c.add_argument("--gcta-bin", default="gcta64")
     c.add_argument("--threads", type=int, default=20)
     c.set_defaults(fn=cmd_classic_gwas)
+
+    wc = sub.add_parser(
+        "warm-cache",
+        help="pre-compile standard shapes into the persistent XLA cache")
+    wc.add_argument("--shapes", nargs="+", default=["demo", "calib"],
+                    choices=sorted(_WARM_SHAPES))
+    wc.set_defaults(fn=cmd_warm_cache)
 
     b = sub.add_parser("bench", help="one-chip throughput benchmark")
     b.add_argument("--steps", type=int, default=20)

@@ -76,10 +76,14 @@ def make_synthetic_sumstats(
     n_causal: Optional[int] = None,
     sample_size: int = 10000,
     seed: int = 0,
-) -> pd.DataFrame:
+    return_causal: bool = False,
+):
     """fastGWA-shaped sumstats over the synthetic SNP set: columns CHR, SNP,
     POS, A1, A2, N, AF1, BETA, SE, P (reference format parsed at
-    kgwas/kgwas_data.py:317-326,391-446)."""
+    kgwas/kgwas_data.py:317-326,391-446). n_causal=0 gives a pure null
+    (z ~ N(0,1) for every SNP — the reference null-simulation analog,
+    reference kgwas_data.py:286-294). return_causal=True also returns the
+    causal index set (for power counting in the causal arm)."""
     rng = np.random.default_rng(seed + 1)
     if n_causal is None:
         n_causal = max(n_snp // 20, 1)
@@ -106,6 +110,8 @@ def make_synthetic_sumstats(
             "P": p,
         }
     )
+    if return_causal:
+        return df, np.sort(causal_idx)
     return df
 
 

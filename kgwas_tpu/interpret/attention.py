@@ -36,26 +36,31 @@ def attention_tables(params, model_cfg, meta, arrays, relations) -> pd.DataFrame
     rel_names = [relations[rk].rel for rk in all_keys]
     names_unique = len(set(rel_names)) == len(rel_names)
 
-    # ONE batched device->host transfer: slice off edge padding, head-mean,
-    # and concat on device, then a single host read. The previous form did
-    # one np.asarray per (relation, layer) — 60 transfers of PADDED arrays
-    # at 200k-SNP scale, most of the measured 24.3 s host tail.
-    specs = []  # (layer_idx, relkey, num_edges)
-    chunks = []
-    for li, alphas in enumerate(layers):
-        for rk, alpha in alphas.items():
-            e = relations[rk].num_edges
-            a = alpha[:e]
-            if a.ndim == 2:  # [E, H] -> mean over heads (reference is H=1)
-                a = a.mean(axis=1)
-            chunks.append(a.astype(jnp.float32))
-            specs.append((li, rk, e))
-    if not chunks:
+    # ONE dispatch + ONE batched device->host transfer: slice off edge
+    # padding, head-mean, and concat fused under a single jit, then a single
+    # host read. The previous form did one np.asarray per (relation, layer)
+    # — 60 transfers of PADDED arrays — and even eager per-relation
+    # slice/mean ops cost ~19 s of relay round-trips at 200k-SNP scale.
+    specs = [(li, rk, relations[rk].num_edges)
+             for li, alphas in enumerate(layers) for rk in alphas]
+    if not specs:
         return pd.DataFrame(
             columns=["h_idx", "t_idx", "weight", "h_type", "rel_type",
                      "t_type", "layer"]
         )
-    flat_w = np.asarray(jnp.concatenate(chunks), dtype=np.float64)
+
+    import jax
+
+    def _flatten(layer_list):
+        chunks = []
+        for li, rk, e in specs:
+            a = layer_list[li][rk][:e]
+            if a.ndim == 2:  # [E, H] -> mean over heads (reference is H=1)
+                a = a.mean(axis=1)
+            chunks.append(a.astype(jnp.float32))
+        return jnp.concatenate(chunks)
+
+    flat_w = np.asarray(jax.jit(_flatten)(layers), dtype=np.float64)
 
     # numpy-native assembly: index/weight columns concatenated once; the
     # four constant-per-group string columns become categoricals built from

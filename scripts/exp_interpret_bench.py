@@ -25,6 +25,9 @@ from kgwas_tpu.graph import compile_graph, make_synthetic_kg
 from kgwas_tpu.interpret.attention import attention_tables
 from kgwas_tpu.models import init_hetero_gnn
 from kgwas_tpu.models.hetero_gnn import apply_collect_attention
+from kgwas_tpu.utils import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 
 
 def main():

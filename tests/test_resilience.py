@@ -199,3 +199,70 @@ def test_watchdog_gives_up_after_budget(tmp_path):
             heartbeat=str(tmp_path / "hb"),
             stall_timeout_s=0.8, max_restarts=1, poll_s=0.2,
         )
+
+
+def test_watchdog_recovers_wedged_training_e2e(tmp_path):
+    """CLAIM-HANG recovery through the REAL stack (VERDICT r3 item 8): a
+    KGWAS.train run wedges silently mid-training (simulated wedged
+    accelerator claim: alive, no exception, no progress); the watchdog
+    kills the process group and relaunches; the relaunch resumes from the
+    orbax per-step train state and completes. This is the supervisor-level
+    path that in-process elastic recovery (max_restarts) cannot cover."""
+    import json
+    import sys
+    import textwrap
+
+    from kgwas_tpu.engine.watchdog import run_with_watchdog
+
+    hb = tmp_path / "hb"
+    mark = tmp_path / "attempt"
+    result = tmp_path / "result.json"
+    base = str(tmp_path / "data") + "/"
+    script = tmp_path / "train_job.py"
+    script.write_text(textwrap.dedent(f"""
+        import json, os, pathlib, time
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+        mark = pathlib.Path({str(mark)!r})
+        attempt = int(mark.read_text()) if mark.exists() else 0
+        mark.write_text(str(attempt + 1))
+
+        if attempt == 0:
+            # wedge after a few dispatched blocks: heartbeats stop but the
+            # process neither raises nor exits (the axon claim-hang mode)
+            import kgwas_tpu.engine.watchdog as wd
+            _orig = wd.touch_heartbeat
+            calls = [0]
+            def wedged_touch(path):
+                calls[0] += 1
+                if calls[0] > 4:
+                    time.sleep(3600)
+                _orig(path)
+            wd.touch_heartbeat = wedged_touch
+
+        from kgwas_tpu import KGWAS, KGWAS_Data
+        data = KGWAS_Data.from_synthetic(n_snp=300, n_gene=60, n_go=25,
+                                         seed=5, data_path={base!r})
+        data.load_synthetic_gwas(seed=5)
+        data.process_gwas_file()
+        data.prepare_split()
+        run = KGWAS(data, exp_name='wedge', seed=5)
+        run.initialize_model(gnn_num_layers=2, gnn_hidden_dim=16,
+                             no_relu=True)
+        run.train(batch_size=64, epoch=3, lr=1e-3, scan_steps=0,
+                  save_best_model=False, checkpoint_every=1, resume=True,
+                  heartbeat_path={str(hb)!r})
+        pathlib.Path({str(result)!r}).write_text(json.dumps(
+            dict(attempt=attempt, epochs=len(run.train_history))))
+    """))
+    rc = run_with_watchdog(
+        [sys.executable, str(script)], heartbeat=str(hb),
+        stall_timeout_s=75.0, max_restarts=1, poll_s=0.5,
+    )
+    assert rc == 0
+    assert int(mark.read_text()) == 2, "expected exactly one restart"
+    out = json.loads(result.read_text())
+    assert out["attempt"] == 1, "completion must come from the relaunch"
+    assert out["epochs"] == 3
