@@ -209,6 +209,7 @@ def test_watchdog_recovers_wedged_training_e2e(tmp_path):
     orbax per-step train state and completes. This is the supervisor-level
     path that in-process elastic recovery (max_restarts) cannot cover."""
     import json
+    import pathlib
     import sys
     import textwrap
 
@@ -218,9 +219,16 @@ def test_watchdog_recovers_wedged_training_e2e(tmp_path):
     mark = tmp_path / "attempt"
     result = tmp_path / "result.json"
     base = str(tmp_path / "data") + "/"
+    # the subprocess's sys.path[0] is tmp_path (the script dir), not this
+    # repo — put the package root on the path explicitly so the test does
+    # not depend on an installed kgwas_tpu or an inherited PYTHONPATH
+    import kgwas_tpu
+
+    repo_root = str(pathlib.Path(kgwas_tpu.__file__).resolve().parents[1])
     script = tmp_path / "train_job.py"
     script.write_text(textwrap.dedent(f"""
-        import json, os, pathlib, time
+        import json, os, pathlib, sys, time
+        sys.path.insert(0, {repo_root!r})
         os.environ['JAX_PLATFORMS'] = 'cpu'
         import jax
         jax.config.update('jax_platforms', 'cpu')
