@@ -99,8 +99,13 @@ def run_child(name, spec, tmp):
     env["BN_PARITY_SPEC"] = json.dumps({**spec, "out": out})
     print(f"[parent] {name}: BN={spec['bn']} dyn128={spec['dyn128']} "
           f"pallas={spec['pallas']} ...", flush=True)
+    # relay remote-compiles are slow and variable (fresh composed-step
+    # programs measured >900 s server-side on 2026-08-20; a killed child's
+    # compile still completes server-side and caches, so a rerun is fast)
+    timeout_s = int(os.environ.get("BN_PARITY_CHILD_TIMEOUT", "2400"))
     r = subprocess.run([sys.executable, "-c", _CHILD % {"repo": REPO}],
-                       env=env, capture_output=True, text=True, timeout=900)
+                       env=env, capture_output=True, text=True,
+                       timeout=timeout_s)
     tail = "\n".join(r.stdout.strip().splitlines()[-3:])
     if r.returncode != 0 or "CHILD_OK" not in r.stdout:
         print(r.stdout[-3000:])

@@ -39,7 +39,26 @@ def human(n):
 
 
 def main():
+    # FULLKG_MESH=N: run the SHARDED train step on an N-device virtual CPU
+    # mesh (xla_force_host_platform_device_count) instead of the single
+    # real chip — the VERDICT r3 item-1 fallback: demonstrate the full-KG
+    # scale partitioned over a mesh with REAL per-device byte accounting
+    # (addressable_shards). Uses the GSPMD XLA path (use_pallas=False):
+    # interpret-mode Pallas at 33M edges would take hours on CPU, while
+    # the XLA segment ops run one step in ~a minute.
+    mesh_n = int(os.environ.get("FULLKG_MESH", "0"))
+    if mesh_n:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={mesh_n}"
+            ).strip()
+
     import jax
+
+    if mesh_n:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from kgwas_tpu.config import ModelConfig
@@ -110,13 +129,12 @@ def main():
 
     # ---- run --------------------------------------------------------------
     cfg = ModelConfig(
-        gnn_hidden_dim=hidden, gnn_num_layers=2, use_pallas=True,
+        gnn_hidden_dim=hidden, gnn_num_layers=2, use_pallas=not mesh_n,
         matmul_precision="highest", stream_dtype=stream_dtype, remat=remat)
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
     optimizer = build_optimizer(1e-4, 5e-4)
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, meta, optimizer)
 
     dev = jax.devices()[0]
 
@@ -128,13 +146,45 @@ def main():
             return 0
 
     try:
-        arrays = jax.device_put(arrays_np)
-        n_pad = cg.padded_nodes["SNP"]
-        rng = np.random.default_rng(0)
-        y = jnp.asarray(rng.random(n_pad, dtype=np.float32))
-        w = jnp.ones(n_pad, jnp.float32)
-        bidx = jnp.asarray(rng.integers(0, cg.num_nodes["SNP"], 512),
-                           jnp.int32)
+        if mesh_n:
+            from kgwas_tpu.parallel.mesh import make_mesh
+            from kgwas_tpu.parallel.shard import (make_sharded_train_step,
+                                                  node_vector_sharding,
+                                                  replicated,
+                                                  shard_graph_arrays)
+
+            mesh = make_mesh(data=mesh_n, model=1)
+            step = make_sharded_train_step(cfg, meta, optimizer, mesh,
+                                           arrays_np)
+            arrays = shard_graph_arrays(mesh, arrays_np)
+            n_pad = cg.padded_nodes["SNP"]
+            rng = np.random.default_rng(0)
+            y = jax.device_put(
+                jnp.asarray(rng.random(n_pad, dtype=np.float32)),
+                node_vector_sharding(mesh))
+            w = jax.device_put(jnp.ones(n_pad, jnp.float32),
+                               node_vector_sharding(mesh))
+            bidx = jax.device_put(
+                jnp.asarray(rng.integers(0, cg.num_nodes["SNP"], 512),
+                            jnp.int32), replicated(mesh))
+            # REAL per-device byte accounting of the sharded graph state
+            per_dev = {}
+            for leaf in jax.tree_util.tree_leaves((arrays, y, w)):
+                for s in leaf.addressable_shards:
+                    per_dev[s.device.id] = (per_dev.get(s.device.id, 0)
+                                            + s.data.nbytes)
+            for did in sorted(per_dev):
+                print(f"[fullkg]   device {did}: graph-state "
+                      f"{human(per_dev[did])}", flush=True)
+        else:
+            step = make_train_step(cfg, meta, optimizer)
+            arrays = jax.device_put(arrays_np)
+            n_pad = cg.padded_nodes["SNP"]
+            rng = np.random.default_rng(0)
+            y = jnp.asarray(rng.random(n_pad, dtype=np.float32))
+            w = jnp.ones(n_pad, jnp.float32)
+            bidx = jnp.asarray(rng.integers(0, cg.num_nodes["SNP"], 512),
+                               jnp.int32)
         t0 = time.time()
         p, o, loss = step(params, opt_state, arrays, bidx, y, w)
         l0 = float(loss)
@@ -148,10 +198,15 @@ def main():
             _ = float(loss)
             return time.perf_counter() - t0, p, o, loss
 
-        n1 = max(steps // 4, 1)
-        t1, p, o, _ = run_n(n1, p, o)
-        t2, p, o, loss = run_n(steps, p, o)
-        dt = (t2 - t1) / (steps - n1)
+        if steps >= 4:
+            n1 = max(steps // 4, 1)
+            t1, p, o, _ = run_n(n1, p, o)
+            t2, p, o, loss = run_n(steps, p, o)
+            dt = (t2 - t1) / (steps - n1)
+        else:
+            # too few steps to slope-time (dryrun mode) — plain average
+            t2, p, o, loss = run_n(steps, p, o)
+            dt = t2 / steps
         trav = edges * 2
         print(json.dumps({
             "n_snp": n_snp, "edges": edges, "step_ms": round(dt * 1e3, 1),
@@ -159,7 +214,7 @@ def main():
             "trav_per_s": round(trav / dt, 0),
             "peak_hbm_bytes": mem_peak(),
             "stream_dtype": stream_dtype or "float32", "remat": remat,
-            "loss": float(loss),
+            "mesh": mesh_n, "loss": float(loss),
         }), flush=True)
     except Exception as e:
         msg = str(e)
