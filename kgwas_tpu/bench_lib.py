@@ -92,6 +92,9 @@ def main():
         use_pallas=use_pallas,
         gather_chunk_rows=gather_chunk,
         bwd_window_edges=bwd_window,
+        # rel-fold A/B knob (BENCH_REL_FOLD=0 restores the out-of-op
+        # cross-relation sum with the materialized cotangent broadcast)
+        rel_fold=os.environ.get("BENCH_REL_FOLD", "1") == "1",
     )
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
@@ -185,6 +188,7 @@ def main():
                     "layers": layers,
                     "dtype": dtype,
                     "scan": scan_steps,
+                    "rel_fold": cfg.rel_fold,
                     "step_ms": round(dt / steps * 1e3, 2),
                 },
             }

@@ -100,6 +100,25 @@ class ModelConfig:
                                      # DMA streams). None = auto (on when
                                      # the chunked gather engages); False
                                      # forces the read-merge kernel
+    rel_fold: bool = False           # fold the cross-relation sum/mean into
+                                     # the fused layer ops' custom VJP: the
+                                     # backward kernels read the [N, D]
+                                     # cotangent with an `i % tiles` index
+                                     # map instead of XLA materializing the
+                                     # [R*N, D] broadcast for the custom
+                                     # call (identical math; ~1 ms/step at
+                                     # 200k and ~2 GiB HBM at 2M SNPs).
+                                     # OPT-IN until the full on-chip
+                                     # 4-variant parity gate
+                                     # (scripts/exp_bn_parity_tpu.py) runs
+                                     # clean — the documented procedure for
+                                     # kernel-path default flips. Current
+                                     # hardware evidence: 8 composed steps
+                                     # at 50k on v5e matched the XLA oracle
+                                     # losses to ~1e-5 with fold on
+                                     # (benchmarks/RESULTS.md round 4); the
+                                     # full gate was cut short by relay
+                                     # claim stalls, not a failure.
     gather_chunk_rows: Optional[int] = None  # src-chunked message gather:
                                      # max table rows per chunk (None ->
                                      # EMITTER_FAST_ROWS = 131072; 0

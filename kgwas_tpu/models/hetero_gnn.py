@@ -325,6 +325,13 @@ def apply_merged_gat_layer(
             pl_lay = get_owned_plain_stream(L)
             if pl_lay.read_amp > 1.5 or pl_lay.sum_read_amp > 1.5:
                 pl_lay = None
+        # rel-fold: the single-device fused ops fold the cross-relation
+        # sum into their custom VJP (ops/pallas_gat_layer._rel_fold_out) so
+        # the backward never materializes the [R*N, D] cotangent broadcast.
+        # The shard_map kernels (merged_kernel_fns) keep the unfolded [R*N,
+        # D] output — their VJP plumbing is the mesh path's.
+        n_rel = len(L.rel_keys)
+        fold = n_rel if (cfg.rel_fold and merged_kernel_fns is None) else 0
         # multi-head runs one fused-layer kernel per head over the same
         # merged layout (heads are independent softmaxes; PyG concats them,
         # reference conv.py:122-131). Per-head slices of lin_src keep each
@@ -388,7 +395,7 @@ def apply_merged_gat_layer(
                         (L.csc_ids, L.csc_offsets, L.n_src_total,
                          L.n_rows_total, L.tile2rel),
                         cfg.negative_slope, cfg.temperature, interpret,
-                        mode,
+                        mode, fold,
                     )
                 else:
                     msgs = gather_rows_chunked(
@@ -402,7 +409,7 @@ def apply_merged_gat_layer(
                         a_dst_all.astype(jnp.float32),
                         cs.dst, cs.desc, cs.desc_offsets, L.tile2rel,
                         L.n_rows_total, cfg.negative_slope, cfg.temperature,
-                        interpret, cs.fully_owned, mode,
+                        interpret, cs.fully_owned, mode, fold,
                     )
             else:
                 xs_all = jnp.concatenate(
@@ -422,7 +429,7 @@ def apply_merged_gat_layer(
                         a_dst_all.astype(jnp.float32), pl_lay,
                         (L.n_src_total, L.n_rows_total, L.tile2rel),
                         cfg.negative_slope, cfg.temperature, interpret,
-                        mode,
+                        mode, fold,
                     )
                 else:
                     if wl is not None:
@@ -444,7 +451,7 @@ def apply_merged_gat_layer(
                             a_dst_all.astype(jnp.float32),
                             L.dst, L.row_offsets, L.tile2rel,
                             L.n_rows_total, cfg.negative_slope,
-                            cfg.temperature, interpret,
+                            cfg.temperature, interpret, fold,
                         )
                     else:
                         out_all = fused_gat_layer_unnorm(
@@ -452,19 +459,26 @@ def apply_merged_gat_layer(
                             a_dst_all.astype(jnp.float32),
                             L.dst, L.row_offsets, L.tile2rel,
                             L.n_rows_total, cfg.negative_slope,
-                            cfg.temperature, mode, interpret,
+                            cfg.temperature, mode, interpret, fold,
                         )
-            rel_stack = out_all.reshape(len(L.rel_keys), L.n_rows_per_rel, d)
             # cross-relation aggregation over the merged rows. mean matches
             # the per-relation path's _aggregate: every relation output
             # participates (zeros for edge-less nodes included), and the
             # per-relation biases average (out_r + b_r averaged). max/min
             # are NOT merged-eligible: max(out_r + b_r) is not separable
-            # into an aggregate plus a bias term.
-            head_outs.append(
-                rel_stack.mean(axis=0) if cfg.gnn_aggr == "mean"
-                else rel_stack.sum(axis=0)
-            )
+            # into an aggregate plus a bias term. With rel_fold the SUM
+            # already happened inside the fused op's VJP (same reshape+sum
+            # op, just inside the custom_vjp boundary); mean divides after.
+            if fold:
+                head_outs.append(
+                    out_all / n_rel if cfg.gnn_aggr == "mean" else out_all
+                )
+            else:
+                rel_stack = out_all.reshape(n_rel, L.n_rows_per_rel, d)
+                head_outs.append(
+                    rel_stack.mean(axis=0) if cfg.gnn_aggr == "mean"
+                    else rel_stack.sum(axis=0)
+                )
         out = (head_outs[0] if H == 1
                else jnp.concatenate(head_outs, axis=-1))
         bias = (bias_sum / len(L.rel_keys) if cfg.gnn_aggr == "mean"

@@ -606,11 +606,12 @@ def _make_bwd_kernel(negative_slope, temperature, e_pad_total,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "mode"),
+                     "mode", "fold_tiles"),
 )
 def _merged_backward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
                      row_max, row_sum, out, g, n_rows, negative_slope,
-                     temperature, interpret=False, mode="softmax"):
+                     temperature, interpret=False, mode="softmax",
+                     fold_tiles=0):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
@@ -632,7 +633,16 @@ def _merged_backward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, d), lambda i, off, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d), lambda i, off, t2r: (i, 0),
+            # rel-folded cotangent (fold_tiles > 0): g is the [N_rel, D]
+            # cotangent of the cross-relation SUM; merged rows are
+            # rel-major, so tile i of the stream reads folded tile
+            # i % fold_tiles — same values the [R*N, D] broadcast would
+            # deliver, without XLA materializing the broadcast into a
+            # buffer for the custom call
+            pl.BlockSpec((BN, d),
+                         (lambda i, off, t2r: (i % fold_tiles, 0))
+                         if fold_tiles else
+                         (lambda i, off, t2r: (i, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -685,17 +695,37 @@ def _prep_adst_tiles(a_dst_all, n_rows):
     return jnp.pad(tiles, ((0, 0), (0, 7), (0, 0))).reshape(n_tiles * 8, BN)
 
 
+def _rel_fold_out(out, rel_fold):
+    """Cross-relation SUM of the merged [R*N, D] output -> [N, D]. Same op
+    hetero_gnn's rel_stack.sum(axis=0) performed outside — moved inside the
+    custom VJP so the backward receives the FOLDED [N, D] cotangent and the
+    kernels read it with an `i % fold_tiles` index map, instead of XLA
+    materializing the [R*N, D] broadcast into a buffer for the custom call
+    (0.99 ms/step of pure repeated-row writes at 200k; at 2M SNPs the
+    broadcast alone would be ~2 GiB of HBM)."""
+    return out.reshape(rel_fold, -1, out.shape[1]).sum(axis=0)
+
+
+def _rel_fold_tiles(n_rows, rel_fold):
+    n_rel = n_rows // rel_fold
+    assert n_rows % rel_fold == 0 and n_rel % BN == 0
+    return n_rel // BN
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
 )
 def fused_gat_layer(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
-                    n_rows, negative_slope, temperature, interpret=False):
+                    n_rows, negative_slope, temperature, interpret=False,
+                    rel_fold=0):
     """Merged GAT layer aggregation (see module docstring).
 
     msgs [E, D] (merged-gathered, D%128==0); att [R, D] per-relation
     attention vectors; a_dst_all [n_rows] per-row dst-attention scalars.
     dst_np/row_offsets_np/tile2rel_np: static numpy layout arrays.
-    n_rows = R * N_pad, multiple of 256. Returns out_all [n_rows, D].
+    n_rows = R * N_pad, multiple of 256. Returns out_all [n_rows, D] —
+    or, with rel_fold=R, the cross-relation sum [n_rows/R, D]
+    (see _rel_fold_out).
     """
     ts = _tile_starts_np(row_offsets_np)
     out, _, _ = _merged_forward(
@@ -704,11 +734,11 @@ def fused_gat_layer(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
         jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
         interpret,
     )
-    return out
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
 
 
 def _fgl_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
-             n_rows, negative_slope, temperature, interpret):
+             n_rows, negative_slope, temperature, interpret, rel_fold):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
     ts = _tile_starts_np(row_offsets_np)
@@ -717,17 +747,19 @@ def _fgl_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
         jnp.asarray(ts), jnp.asarray(tile2rel_np), n_rows,
         negative_slope, temperature, interpret,
     )
-    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
 
 def _fgl_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
-             temperature, interpret, residuals, g):
+             temperature, interpret, rel_fold, residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
     ts = _tile_starts_np(row_offsets_np)
     dmsgs, dadst_tiles, datt_tiles = _merged_backward(
         msgs, att8, adst_tiles, jnp.asarray(dst_np),
         jnp.asarray(ts), jnp.asarray(tile2rel_np), row_max,
         row_sum, out, g, n_rows, negative_slope, temperature, interpret,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
     )
     d_a_dst, d_att = _tile_grads_to_rel(
         dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
@@ -739,11 +771,11 @@ fused_gat_layer.defvjp(_fgl_fwd, _fgl_bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
 )
 def fused_gat_layer_unnorm(msgs, att, a_dst_all, dst_np, row_offsets_np,
                            tile2rel_np, n_rows, negative_slope, temperature,
-                           mode, interpret=False):
+                           mode, interpret=False, rel_fold=0):
     """fused_gat_layer for the UNNORMALIZED GAT modes (reference
     conv.py:219-223): per-edge weight sigmoid(l) ("sigmoid" mode, the
     sigmoid_gat flag) or the raw leaky logit ("raw" mode) — elementwise,
@@ -757,11 +789,12 @@ def fused_gat_layer_unnorm(msgs, att, a_dst_all, dst_np, row_offsets_np,
         jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
         interpret, mode=mode,
     )
-    return out
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
 
 
 def _fglu_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
-              n_rows, negative_slope, temperature, mode, interpret):
+              n_rows, negative_slope, temperature, mode, interpret,
+              rel_fold):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
     ts = _tile_starts_np(row_offsets_np)
@@ -770,11 +803,12 @@ def _fglu_fwd(msgs, att, a_dst_all, dst_np, row_offsets_np, tile2rel_np,
         jnp.asarray(ts), jnp.asarray(tile2rel_np), n_rows,
         negative_slope, temperature, interpret, mode=mode,
     )
-    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
 
 def _fglu_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
-              temperature, mode, interpret, residuals, g):
+              temperature, mode, interpret, rel_fold, residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
     ts = _tile_starts_np(row_offsets_np)
     dmsgs, dadst_tiles, datt_tiles = _merged_backward(
@@ -782,6 +816,7 @@ def _fglu_bwd(dst_np, row_offsets_np, tile2rel_np, n_rows, negative_slope,
         jnp.asarray(ts), jnp.asarray(tile2rel_np), row_max,
         row_sum, out, g, n_rows, negative_slope, temperature, interpret,
         mode=mode,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
     )
     d_a_dst, d_att = _tile_grads_to_rel(
         dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
@@ -1600,13 +1635,13 @@ def _dyn128_scratch(d):
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "owned", "mode", "dyn128"),
+                     "owned", "mode", "dyn128", "fold_tiles"),
 )
 def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                              desc_base, tile2rel, row_max, row_sum, out, g,
                              n_rows, negative_slope, temperature,
                              interpret=False, owned=False, mode="softmax",
-                             dyn128=False):
+                             dyn128=False, fold_tiles=0):
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     # owned (fully fragment-padded) streams are exact BE multiples whose
@@ -1630,7 +1665,12 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, d), lambda i, doff, dsc, dbs, t2r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d), lambda i, doff, dsc, dbs, t2r: (i, 0),
+            # rel-folded cotangent — see _merged_backward
+            pl.BlockSpec((BN, d),
+                         (lambda i, doff, dsc, dbs, t2r:
+                          (i % fold_tiles, 0))
+                         if fold_tiles else
+                         (lambda i, doff, dsc, dbs, t2r: (i, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1680,12 +1720,12 @@ def _merged_backward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
                             desc_off_np, tile2rel_np, n_rows, negative_slope,
                             temperature, interpret=False, owned=False,
-                            mode="softmax"):
+                            mode="softmax", rel_fold=0):
     """fused_gat_layer over a chunked (src-chunk-major) edge stream.
 
     msgs [E, D] in ChunkedStreamLayout order (the concat of per-chunk fast
@@ -1704,7 +1744,7 @@ def fused_gat_layer_chunked(msgs, att, a_dst_all, dst_np, desc_np,
         jnp.asarray(tile2rel_np), n_rows, negative_slope, temperature,
         interpret, pre_padded=owned, mode=mode, dyn128=DYN128,
     )
-    return out
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
 
 
 def _nonempty_desc(desc_np):
@@ -1714,7 +1754,7 @@ def _nonempty_desc(desc_np):
 
 def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
               tile2rel_np, n_rows, negative_slope, temperature, interpret,
-              owned, mode):
+              owned, mode, rel_fold):
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, n_rows)
     dbase = _desc_base_cached(None, desc_np, desc_off_np, dst_np, n_rows)
@@ -1725,11 +1765,12 @@ def _fglc_fwd(msgs, att, a_dst_all, dst_np, desc_np, desc_off_np,
         negative_slope, temperature, interpret, pre_padded=owned, mode=mode,
         dyn128=DYN128,
     )
-    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
 
 def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
-              negative_slope, temperature, interpret, owned, mode,
+              negative_slope, temperature, interpret, owned, mode, rel_fold,
               residuals, g):
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
     dbase = _desc_base_cached(None, desc_np, desc_off_np, dst_np, n_rows)
@@ -1739,6 +1780,7 @@ def _fglc_bwd(dst_np, desc_np, desc_off_np, tile2rel_np, n_rows,
         jnp.asarray(dbase), jnp.asarray(tile2rel_np), row_max, row_sum,
         out, g, n_rows, negative_slope, temperature, interpret, owned, mode,
         dyn128=DYN128,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
     )
     d_a_dst, d_att = _tile_grads_to_rel(
         dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
@@ -1752,14 +1794,15 @@ fused_gat_layer_chunked.defvjp(_fglc_fwd, _fglc_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows", "negative_slope", "temperature", "interpret",
-                     "split_bases", "read_bases", "mode", "dyn128"),
+                     "split_bases", "read_bases", "mode", "dyn128",
+                     "fold_tiles"),
 )
 def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
                                    desc, desc_base, tile2rel, row_max,
                                    row_sum, out, g, n_rows, negative_slope,
                                    temperature, split_bases, interpret=False,
                                    read_bases=None, mode="softmax",
-                                   dyn128=False):
+                                   dyn128=False, fold_tiles=0):
     """_merged_backward_chunked (owned) emitting dmsgs as one SEPARATE HBM
     buffer per padded chunk block (split_bases: static BE-multiple cuts) —
     see _make_bwd_kernel_chunked. Empty blocks get a never-written BE-row
@@ -1802,8 +1845,12 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
                 pl.BlockSpec((BN, d),
                              lambda i, doff, dsc, dbs, t2r: (i, 0),
                              memory_space=pltpu.VMEM),
+                # rel-folded cotangent — see _merged_backward
                 pl.BlockSpec((BN, d),
-                             lambda i, doff, dsc, dbs, t2r: (i, 0),
+                             (lambda i, doff, dsc, dbs, t2r:
+                              (i % fold_tiles, 0))
+                             if fold_tiles else
+                             (lambda i, doff, dsc, dbs, t2r: (i, 0)),
                              memory_space=pltpu.VMEM),
             ]
         ),
@@ -1857,9 +1904,10 @@ def _merged_backward_chunked_split(msgs, att8, adst_tiles, dst, desc_offsets,
     return tuple(res[:n_split]), res[n_split], res[n_split + 1]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
-                             temperature, interpret=False, mode="softmax"):
+                             temperature, interpret=False, mode="softmax",
+                             rel_fold=0):
     """Gather + fused GAT layer in ONE custom-VJP op over a fully-owned
     chunked stream (graph/merged_layout.ChunkedStreamLayout,
     pad_fragments=True).
@@ -1888,7 +1936,7 @@ def fused_gat_layer_gathered(tabs, att, a_dst_all, cs, aux, negative_slope,
         interpret, split_bases=tuple(int(b) for b in cs.chunk_edge_base),
         mode=mode, dyn128=DYN128,
     )
-    return out
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
 
 
 def _take_tab_parts(tabs, cs):
@@ -1929,7 +1977,7 @@ def _assemble_grouped_cotangents(bufs, perms, d, dtype):
 
 
 def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
-              interpret, mode):
+              interpret, mode, rel_fold):
     parts = _take_tab_parts(tabs, cs)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[3])
@@ -1942,12 +1990,13 @@ def _fglg_fwd(tabs, att, a_dst_all, cs, aux, negative_slope, temperature,
         split_bases=tuple(int(b) for b in cs.chunk_edge_base),
         mode=mode, dyn128=DYN128,
     )
-    return out, (parts, att8, adst_tiles, row_max, row_sum, out,
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (parts, att8, adst_tiles, row_max, row_sum, out,
                  att.shape[0], tuple(t.shape[0] for t in tabs))
 
 
 def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
-              residuals, g):
+              rel_fold, residuals, g):
     from ..graph.merged_layout import get_chunked_split_group
     from .pallas_segment import segment_sum_windows
 
@@ -1962,6 +2011,7 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
         jnp.asarray(dbase), jnp.asarray(tile2rel_np), row_max, row_sum,
         out, g, n_rows, negative_slope, temperature, split_bases, interpret,
         read_bases=split_bases, mode=mode, dyn128=DYN128,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
     )
     if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
         # per-chunk cotangent takes stay SEPARATE into the split-input
@@ -2025,10 +2075,11 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
 fused_gat_layer_gathered.defvjp(_fglg_fwd, _fglg_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
                                    negative_slope, temperature,
-                                   interpret=False, mode="softmax"):
+                                   interpret=False, mode="softmax",
+                                   rel_fold=0):
     """Gather + fused GAT layer in ONE custom-VJP op over an owned PLAIN
     stream (graph/merged_layout.OwnedPlainLayout) — for groups whose
     forward table xs_all is already fast (n_src_total <= EMITTER_FAST_ROWS)
@@ -2056,11 +2107,11 @@ def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
         jnp.asarray(aux[2]), aux[1], negative_slope, temperature, interpret,
         pre_padded=True, mode=mode, dyn128=DYN128,
     )
-    return out
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
 
 
 def _fglpg_fwd(xs_all, att, a_dst_all, lay, aux, negative_slope, temperature,
-               interpret, mode):
+               interpret, mode, rel_fold):
     msgs = jnp.take(xs_all, jnp.asarray(lay.src), axis=0)
     att8 = _prep_att8(att)
     adst_tiles = _prep_adst_tiles(a_dst_all, aux[1])
@@ -2072,11 +2123,12 @@ def _fglpg_fwd(xs_all, att, a_dst_all, lay, aux, negative_slope, temperature,
         jnp.asarray(dbase), jnp.asarray(aux[2]), aux[1], negative_slope,
         temperature, interpret, pre_padded=True, mode=mode, dyn128=DYN128,
     )
-    return out, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, att.shape[0])
 
 
 def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, mode,
-               residuals, g):
+               rel_fold, residuals, g):
     from .pallas_segment import segment_sum_windows
 
     msgs, att8, adst_tiles, row_max, row_sum, out, n_rel = residuals
@@ -2090,6 +2142,7 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, mode,
         jnp.asarray(dbase), jnp.asarray(tile2rel_np), row_max, row_sum,
         out, g, n_rows, negative_slope, temperature, split_bases, interpret,
         mode=mode, dyn128=DYN128,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
     )
     if os.environ.get("KGWAS_SPLIT_SEGSUM", "0") == "1":
         # per-cut cotangent takes stay SEPARATE into the split-input

@@ -175,6 +175,82 @@ def test_full_model_merged_matches_xla():
                                    rtol=5e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("aggr", ["sum", "mean"])
+def test_rel_fold_identical_to_unfolded(aggr):
+    """rel_fold (the cross-relation sum folded into the fused ops' custom
+    VJP with the `i % fold_tiles` cotangent index map) must be EXACTLY the
+    unfolded path: same primitive sequence forward (reshape+sum inside vs
+    outside the custom_vjp), and a backward that reads identical cotangent
+    row values without materializing the [R*N, D] broadcast. Checked
+    end-to-end through the model on forward AND every grad leaf, for both
+    sum and mean cross-relation aggregation."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=47)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, gnn_aggr=aggr,
+              use_pallas=True, pallas_mode="merged")
+    cfg_u = ModelConfig(rel_fold=False, **kw)
+    cfg_f = ModelConfig(rel_fold=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(7), cfg_u, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+
+    out_u = np.asarray(apply_hetero_gnn(params, cfg_u, meta, arrays))
+    out_f = np.asarray(apply_hetero_gnn(params, cfg_f, meta, arrays))
+    np.testing.assert_allclose(out_f[:n_real], out_u[:n_real],
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gu = jax.grad(lambda p: loss(p, cfg_u))(params)
+    gf = jax.grad(lambda p: loss(p, cfg_f))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gu),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_rel_fold_sigmoid_mode_matches_xla():
+    """rel_fold through the unnormalized (sigmoid_gat) kernels vs the plain
+    XLA path — covers fused_gat_layer_unnorm's folded backward."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=49)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, sigmoid_gat=True)
+    cfg_x = ModelConfig(**kw)
+    cfg_f = ModelConfig(use_pallas=True, pallas_mode="merged",
+                        rel_fold=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(8), cfg_x, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+
+    out_x = np.asarray(apply_hetero_gnn(params, cfg_x, meta, arrays))
+    out_f = np.asarray(apply_hetero_gnn(params, cfg_f, meta, arrays))
+    np.testing.assert_allclose(out_f[:n_real], out_x[:n_real],
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, cfg):
+        pred = apply_hetero_gnn(p, cfg, meta, arrays)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x))(params)
+    gf = jax.grad(lambda p: loss(p, cfg_f))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
 def test_full_model_merged_multihead_matches_xla():
     """H>1: one fused kernel per head + concat must match the XLA path
     (forward and grads), including the deeper-layer H*h input widths."""
