@@ -130,7 +130,11 @@ def main():
     # ---- run --------------------------------------------------------------
     cfg = ModelConfig(
         gnn_hidden_dim=hidden, gnn_num_layers=2, use_pallas=not mesh_n,
-        matmul_precision="highest", stream_dtype=stream_dtype, remat=remat)
+        matmul_precision="highest", stream_dtype=stream_dtype, remat=remat,
+        # explicit fit lever at full-KG scale: the unfolded backward
+        # materializes the [R*N, D] cross-relation cotangent broadcast
+        # (~1-2 GiB at 2M SNPs) — fold it away (opt-in flag, see config.py)
+        rel_fold=os.environ.get("FULLKG_REL_FOLD", "0") == "1")
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
     optimizer = build_optimizer(1e-4, 5e-4)
