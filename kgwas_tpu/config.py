@@ -119,6 +119,20 @@ class ModelConfig:
                                      # (benchmarks/RESULTS.md round 4); the
                                      # full gate was cut short by relay
                                      # claim stalls, not a failure.
+    layout_operands: bool = False    # thread the gathered path's layout
+                                     # index arrays through the graph
+                                     # `arrays` pytree as TRACED args (HLO
+                                     # parameters) instead of closed-over
+                                     # numpy (stablehlo literals). Shrinks
+                                     # the serialized program by the full
+                                     # layout size (556 MiB at 2M SNPs —
+                                     # above ~400k the literal form broke
+                                     # the relay's /remote_compile). Caller
+                                     # must merge
+                                     # models.hetero_gnn.build_layout_operands(cfg, meta)
+                                     # into arrays as arrays["merged_ops"].
+                                     # Identical kernels and math — only
+                                     # the outer HLO changes.
     gather_chunk_rows: Optional[int] = None  # src-chunked message gather:
                                      # max table rows per chunk (None ->
                                      # EMITTER_FAST_ROWS = 131072; 0

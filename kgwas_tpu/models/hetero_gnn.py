@@ -243,6 +243,38 @@ def _merged_path_active(cfg: ModelConfig, meta: dict, raw_attention,
     return False
 
 
+def build_layout_operands(cfg: ModelConfig, meta: dict) -> dict:
+    """Host-side numpy layout bundles for cfg.layout_operands: one entry
+    per dst group that will take the GATHERED fast path under this cfg
+    (same decision logic as apply_merged_gat_layer). Merge the result into
+    the graph `arrays` pytree as arrays["merged_ops"] so the bundles enter
+    jitted steps as ARGUMENTS (HLO parameters) instead of closed-over
+    numpy (stablehlo literals — 556 MiB of program text at 2M SNPs, which
+    broke the relay compile endpoint; benchmarks/RESULTS.md round 4)."""
+    from ..graph.merged_layout import EMITTER_FAST_ROWS, get_chunked_stream
+    from ..ops.pallas_gat_layer import layout_operand_arrays
+
+    out = {}
+    merged = meta.get("merged") or {}
+    chunk_rows = (cfg.gather_chunk_rows if cfg.gather_chunk_rows is not None
+                  else EMITTER_FAST_ROWS)
+    for dst_t, L in merged.items():
+        use_chunked = (chunk_rows > 0
+                       and L.n_src_total > min(EMITTER_FAST_ROWS,
+                                               2 * chunk_rows))
+        if not use_chunked:
+            continue
+        pad_frags = (cfg.pad_fragments if cfg.pad_fragments is not None
+                     else True)
+        cs = get_chunked_stream(L, chunk_rows, pad_fragments=pad_frags)
+        if not cs.fully_owned:
+            continue
+        aux = (L.csc_ids, L.csc_offsets, L.n_src_total, L.n_rows_total,
+               L.tile2rel)
+        out[dst_t] = layout_operand_arrays(cs, aux)
+    return out
+
+
 def apply_merged_gat_layer(
     layer_params,
     cfg: ModelConfig,
@@ -250,6 +282,7 @@ def apply_merged_gat_layer(
     h: Dict[str, jnp.ndarray],
     merged_kernel_fns: Optional[dict] = None,
     raw_attention: bool = False,
+    layout_ops: Optional[dict] = None,
 ) -> Dict[str, jnp.ndarray]:
     """One hetero GAT layer over merged per-dst-type edge streams: one
     fused_gat_layer kernel + one CSC gather per destination type
@@ -268,6 +301,7 @@ def apply_merged_gat_layer(
     from ..ops.pallas_gat_layer import (fused_gat_layer,
                                         fused_gat_layer_chunked,
                                         fused_gat_layer_gathered,
+                                        fused_gat_layer_gathered_t,
                                         fused_gat_layer_plain_gathered,
                                         fused_gat_layer_unnorm)
     from ..ops.pallas_segment import (gather_rows_csc, gather_rows_chunked,
@@ -389,14 +423,26 @@ def apply_merged_gat_layer(
                     # one fused custom-VJP op: gather + layer; backward
                     # emits SEPARATE per-chunk cotangent buffers so the CSC
                     # takes ride the fast gather emitter
-                    out_all = fused_gat_layer_gathered(
-                        tuple(tabs), att.astype(jnp.float32),
-                        a_dst_all.astype(jnp.float32), cs,
-                        (L.csc_ids, L.csc_offsets, L.n_src_total,
-                         L.n_rows_total, L.tile2rel),
-                        cfg.negative_slope, cfg.temperature, interpret,
-                        mode, fold,
-                    )
+                    aux = (L.csc_ids, L.csc_offsets, L.n_src_total,
+                           L.n_rows_total, L.tile2rel)
+                    lay_t = layout_ops.get(dst_t) if layout_ops else None
+                    if lay_t is not None:
+                        # traced-layout variant: layout arrays ride the
+                        # arrays pytree as HLO parameters (see
+                        # build_layout_operands)
+                        out_all = fused_gat_layer_gathered_t(
+                            tuple(tabs), att.astype(jnp.float32),
+                            a_dst_all.astype(jnp.float32), lay_t, cs, aux,
+                            cfg.negative_slope, cfg.temperature, interpret,
+                            mode, fold,
+                        )
+                    else:
+                        out_all = fused_gat_layer_gathered(
+                            tuple(tabs), att.astype(jnp.float32),
+                            a_dst_all.astype(jnp.float32), cs, aux,
+                            cfg.negative_slope, cfg.temperature, interpret,
+                            mode, fold,
+                        )
                 else:
                     msgs = gather_rows_chunked(
                         tuple(tabs), tuple(cs.local_ids),
@@ -600,6 +646,7 @@ def apply_hetero_layer(
     dropout_rng=None,
     training: bool = False,
     merged_kernel_fns: Optional[dict] = None,
+    layout_ops: Optional[dict] = None,
 ):
     """One HeteroConv application. Returns (out_dict, alpha_dict)."""
     # non-attention backbones dispatch first so the GAT gate's fallback
@@ -610,7 +657,7 @@ def apply_hetero_layer(
         return (
             apply_merged_gat_layer(
                 layer_params, cfg, meta, h, merged_kernel_fns,
-                raw_attention=raw_attention,
+                raw_attention=raw_attention, layout_ops=layout_ops,
             ),
             {},
         )
@@ -683,6 +730,11 @@ def _apply_hetero_gnn(
 ):
     x = graph_arrays["x"]
     edges = graph_arrays["edges"]
+    # traced layout bundles (cfg.layout_operands; build_layout_operands):
+    # present in arrays -> the gathered fast path reads its index arrays
+    # as HLO parameters instead of embedded literals
+    layout_ops = (graph_arrays.get("merged_ops")
+                  if getattr(cfg, "layout_operands", False) else None)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     if compute_dtype != jnp.float32:
         x = {t: v.astype(compute_dtype) for t, v in x.items()}
@@ -699,6 +751,7 @@ def _apply_hetero_gnn(
             layer_params, cfg, meta, h, edges,
             dropout_rng=rng, training=training,
             merged_kernel_fns=merged_kernel_fns,
+            layout_ops=layout_ops,
         )
         return {t: jax.nn.relu(v) for t, v in out.items()}
 

@@ -2075,6 +2075,148 @@ def _fglg_bwd(cs, aux, negative_slope, temperature, interpret, mode,
 fused_gat_layer_gathered.defvjp(_fglg_fwd, _fglg_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Traced-layout variant of the gathered op: layout arrays as runtime
+# OPERANDS instead of HLO literals.
+#
+# jax inlines every closed-over/np array as a stablehlo literal (measured:
+# a 2M-element constant costs 16 MB of program text whether numpy or
+# device array), so at full-KG scale the merged-layout index arrays
+# (556 MiB at 2M SNPs) ballooned the serialized program past what the
+# axon relay's /remote_compile endpoint survives (three broken-pipe
+# failures, benchmarks/RESULTS.md round 4). Only genuine function
+# ARGUMENTS lower as HLO parameters — this op takes the layout bundle
+# as a primal pytree arg (zero cotangent), the same pattern as
+# fused_gat_layer_t for the shard_map path. The kernels are UNTOUCHED:
+# pallas_call always received these as operands; only the outer HLO
+# changes (parameter vs literal).
+# ---------------------------------------------------------------------------
+
+
+def layout_operand_arrays(cs, aux):
+    """Numpy bundle of the gathered path's layout arrays, to be device_put
+    ONCE (ride the graph `arrays` pytree) and passed to
+    fused_gat_layer_gathered_t as a traced argument."""
+    from .pallas_segment import pad_stream_ids_np
+
+    csc_ids_np, csc_offsets_np, n_src_total, n_rows, tile2rel_np = aux
+    dbase = _desc_base_cached(cs, cs.desc, cs.desc_offsets, cs.dst, n_rows)
+    return {
+        "local_ids": tuple(np.asarray(i, np.int32) for i in cs.local_ids),
+        "local_perm": tuple(np.asarray(p, np.int32) for p in cs.local_perm),
+        "dst": np.asarray(cs.dst, np.int32),
+        "desc": np.asarray(_nonempty_desc(cs.desc), np.int32),
+        "desc_offsets": np.asarray(cs.desc_offsets, np.int32),
+        "desc_base": np.asarray(dbase, np.int32),
+        "tile2rel": np.asarray(tile2rel_np, np.int32),
+        "csc_ids_pad": np.asarray(
+            pad_stream_ids_np(csc_ids_np, n_src_total), np.int32),
+        "csc_offsets": np.asarray(csc_offsets_np, np.int32),
+    }
+
+
+def _take_tab_parts_t(tabs, lay, lens):
+    """_take_tab_parts with traced per-chunk id vectors (emptiness is
+    static layout info, so the dummy-block decision stays static)."""
+    return tuple(
+        jnp.take(t, ids, axis=0) if n
+        else jnp.zeros((BE, t.shape[1]), t.dtype)
+        for t, ids, n in zip(tabs, lay["local_ids"], lens)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def fused_gat_layer_gathered_t(tabs, att, a_dst_all, lay, cs, aux,
+                               negative_slope, temperature, interpret=False,
+                               mode="softmax", rel_fold=0):
+    """fused_gat_layer_gathered with the layout bundle as a TRACED operand
+    (`lay` = device-put layout_operand_arrays(cs, aux)). Math identical;
+    `cs` keeps only the static facts the trace needs (chunk lens, padded
+    block boundaries, fully_owned). The KGWAS_SPLIT_SEGSUM /
+    KGWAS_DUS_ASSEMBLE opt-in experiments are not mirrored here (the
+    default concat+plain-segsum backward is)."""
+    lens = tuple(len(i) for i in cs.local_ids)
+    out, _, _ = _merged_forward_chunked(
+        _take_tab_parts_t(tabs, lay, lens), _prep_att8(att),
+        _prep_adst_tiles(a_dst_all, aux[3]), lay["dst"],
+        lay["desc_offsets"], lay["desc"], lay["desc_base"], lay["tile2rel"],
+        aux[3], negative_slope, temperature, interpret,
+        split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+        mode=mode, dyn128=DYN128,
+    )
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
+
+
+def _fglgt_fwd(tabs, att, a_dst_all, lay, cs, aux, negative_slope,
+               temperature, interpret, mode, rel_fold):
+    lens = tuple(len(i) for i in cs.local_ids)
+    parts = _take_tab_parts_t(tabs, lay, lens)
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, aux[3])
+    out, row_max, row_sum = _merged_forward_chunked(
+        parts, att8, adst_tiles, lay["dst"], lay["desc_offsets"],
+        lay["desc"], lay["desc_base"], lay["tile2rel"], aux[3],
+        negative_slope, temperature, interpret,
+        split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+        mode=mode, dyn128=DYN128,
+    )
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (parts, att8, adst_tiles, row_max, row_sum, out, lay,
+                 att.shape[0], tuple(t.shape[0] for t in tabs))
+
+
+def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
+               rel_fold, residuals, g):
+    from .pallas_segment import (pallas_segment_sum, padded_stream_len)
+
+    (msg_parts, att8, adst_tiles, row_max, row_sum, out, lay, n_rel,
+     tab_rows) = residuals
+    _, _, n_src_total, n_rows, _ = aux
+    split_bases = tuple(int(b) for b in cs.chunk_edge_base)
+    bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
+        msg_parts, att8, adst_tiles, lay["dst"], lay["desc_offsets"],
+        lay["desc"], lay["desc_base"], lay["tile2rel"], row_max, row_sum,
+        out, g, n_rows, negative_slope, temperature, split_bases, interpret,
+        read_bases=split_bases, mode=mode, dyn128=DYN128,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
+    )
+    d = msg_parts[0].shape[1]
+    perm_lens = tuple(len(p) for p in cs.local_perm)
+    if any(perm_lens):
+        parts = [
+            jnp.take(bufs[c], lay["local_perm"][c], axis=0)
+            for c in range(cs.n_chunks) if perm_lens[c]
+        ]
+        e = sum(perm_lens)
+        parts.append(jnp.zeros((padded_stream_len(e) - e, d),
+                               parts[0].dtype))
+        g_sorted = jnp.concatenate(parts, axis=0)
+        dx = pallas_segment_sum(
+            g_sorted, lay["csc_ids_pad"], lay["csc_offsets"], n_src_total,
+            interpret, pre_padded=True,
+        )
+    else:
+        dx = jnp.zeros((n_src_total, d), dtype=jnp.float32)
+    dtabs, o = [], 0
+    for r in tab_rows:
+        dtabs.append(dx[o:o + r])
+        o += r
+
+    # _tile_grads_to_rel needs a STATIC tile2rel (numpy selector matmul);
+    # with a traced tile2rel use the iota-compare form (fused_gat_layer_t)
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    n_tiles = n_rows // BN
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_rel, n_tiles), 0)
+        == lay["tile2rel"][None, :]
+    ).astype(jnp.float32)
+    d_att = onehot @ datt_tiles[::8]
+    return tuple(dtabs), d_att, d_a_dst, None
+
+
+fused_gat_layer_gathered_t.defvjp(_fglgt_fwd, _fglgt_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_gat_layer_plain_gathered(xs_all, att, a_dst_all, lay, aux,
                                    negative_slope, temperature,

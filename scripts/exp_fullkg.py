@@ -134,7 +134,20 @@ def main():
         # explicit fit lever at full-KG scale: the unfolded backward
         # materializes the [R*N, D] cross-relation cotangent broadcast
         # (~1-2 GiB at 2M SNPs) — fold it away (opt-in flag, see config.py)
-        rel_fold=os.environ.get("FULLKG_REL_FOLD", "0") == "1")
+        rel_fold=os.environ.get("FULLKG_REL_FOLD", "0") == "1",
+        # layout arrays as traced operands: keeps the 100s-of-MiB layout
+        # index arrays OUT of the serialized HLO (the relay's
+        # /remote_compile broke on the literal form above ~400k SNPs)
+        layout_operands=os.environ.get("FULLKG_LAYOUT_OPERANDS", "0") == "1")
+    if cfg.layout_operands:
+        from kgwas_tpu.models.hetero_gnn import build_layout_operands
+
+        t0 = time.time()
+        arrays_np["merged_ops"] = build_layout_operands(cfg, cg.meta())
+        lo_bytes = sum(a.nbytes for a in
+                       jax.tree_util.tree_leaves(arrays_np["merged_ops"]))
+        print(f"[fullkg] layout operands: {human(lo_bytes)} moved out of "
+              f"the HLO ({time.time()-t0:.0f}s host)", flush=True)
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
     optimizer = build_optimizer(1e-4, 5e-4)

@@ -251,6 +251,64 @@ def test_rel_fold_sigmoid_mode_matches_xla():
                                    rtol=5e-3, atol=1e-4)
 
 
+def test_layout_operands_identical_and_shrinks_hlo():
+    """cfg.layout_operands threads the gathered path's index arrays through
+    the arrays pytree as traced args. Checks (a) forward + every grad leaf
+    EXACTLY matches the literal-constant path, and (b) the lowered
+    stablehlo text actually shrinks by ~the layout bytes (the point of the
+    feature: above ~400k SNPs the literal form broke the relay's
+    /remote_compile — benchmarks/RESULTS.md round 4)."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import (apply_hetero_gnn,
+                                             build_layout_operands)
+
+    # gather_chunk_rows=256 forces the chunked/gathered path at test size
+    g = make_synthetic_kg(n_snp=600, n_gene=200, n_go=60, seed=53)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
+              pallas_mode="merged", gather_chunk_rows=256)
+    cfg_c = ModelConfig(**kw)
+    cfg_t = ModelConfig(layout_operands=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_c, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    merged_ops = build_layout_operands(cfg_t, meta)
+    assert merged_ops, "test graph must engage the gathered path"
+    arrays_t = {**arrays, "merged_ops": merged_ops}
+    n_real = cg.num_nodes["SNP"]
+
+    out_c = np.asarray(apply_hetero_gnn(params, cfg_c, meta, arrays))
+    out_t = np.asarray(apply_hetero_gnn(params, cfg_t, meta, arrays_t))
+    np.testing.assert_allclose(out_t[:n_real], out_c[:n_real],
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, cfg, arr):
+        pred = apply_hetero_gnn(p, cfg, meta, arr)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gc = jax.grad(lambda p: loss(p, cfg_c, arrays))(params)
+    gt = jax.grad(lambda p: loss(p, cfg_t, arrays_t))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gc),
+                    jax.tree_util.tree_leaves(gt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # (b) serialized-program shrink: grad program, literal vs operand form
+    f_c = jax.jit(lambda p, arr: jax.grad(
+        lambda q: loss(q, cfg_c, arr))(p))
+    f_t = jax.jit(lambda p, arr: jax.grad(
+        lambda q: loss(q, cfg_t, arr))(p))
+    n_c = len(f_c.lower(params, arrays).as_text())
+    n_t = len(f_t.lower(params, arrays_t).as_text())
+    lo_bytes = sum(a.nbytes for a in
+                   jax.tree_util.tree_leaves(merged_ops))
+    assert n_t < n_c, (n_c, n_t)
+    # the shrink should be at least the big index arrays' text footprint
+    # (stablehlo prints ints as text, >=2 chars/element incl separator)
+    assert n_c - n_t > lo_bytes / 4, (n_c, n_t, lo_bytes)
+
+
 def test_full_model_merged_multihead_matches_xla():
     """H>1: one fused kernel per head + concat must match the XLA path
     (forward and grads), including the deeper-layer H*h input widths."""
