@@ -735,6 +735,17 @@ def _apply_hetero_gnn(
     # as HLO parameters instead of embedded literals
     layout_ops = (graph_arrays.get("merged_ops")
                   if getattr(cfg, "layout_operands", False) else None)
+    if getattr(cfg, "layout_operands", False) and layout_ops is None:
+        # the flag exists to keep layout index arrays out of the HLO text;
+        # a silent literal-constant fallback would reproduce the exact
+        # giant-program relay failure it guards against
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kgwas_tpu: cfg.layout_operands=True but graph_arrays has no "
+            "'merged_ops' entry — falling back to HLO-literal layout "
+            "constants (giant program text at scale). Merge "
+            "build_layout_operands(cfg, meta) into the arrays pytree.")
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     if compute_dtype != jnp.float32:
         x = {t: v.astype(compute_dtype) for t, v in x.items()}

@@ -45,6 +45,7 @@ from .pallas_segment import (
     LANE,
     NBUF,
     NEG_BIG,
+    _check_bn_supported,
     _in_tile_row,
     _lane_concat,
     _onehot_t,
@@ -340,6 +341,7 @@ def _pad_edge_stream(msgs, dst, n_rows, pre_padded=False):
 def _merged_forward(msgs, att8, adst_tiles, dst, tile_starts, tile2rel,
                     n_rows, negative_slope, temperature, interpret=False,
                     mode="softmax"):
+    _check_bn_supported(n_rows)
     d = msgs.shape[1]
     n_tiles = n_rows // BN
     msgs_p, dst_p = _pad_edge_stream(msgs, dst, n_rows)
@@ -708,7 +710,13 @@ def _rel_fold_out(out, rel_fold):
 
 def _rel_fold_tiles(n_rows, rel_fold):
     n_rel = n_rows // rel_fold
-    assert n_rows % rel_fold == 0 and n_rel % BN == 0
+    # explicit raise (not assert): the `i % fold_tiles` cotangent index map
+    # silently corrupts gradients if the per-relation block is not a BN
+    # multiple, and asserts vanish under `python -O`
+    if n_rows % rel_fold or n_rel % BN:
+        raise ValueError(
+            f"rel_fold={rel_fold} needs n_rows ({n_rows}) divisible by it "
+            f"and the per-relation block ({n_rel}) to be a BN={BN} multiple")
     return n_rel // BN
 
 
@@ -1134,6 +1142,7 @@ def _merged_forward_chunked(msgs, att8, adst_tiles, dst, desc_offsets, desc,
     """split_bases: msgs is a TUPLE of per-chunk-block buffers (see
     _make_fwd_kernel_chunked); dst must already be the padded stream.
     desc_base: dyn128 per-window packed base rows (dummy [1] when off)."""
+    _check_bn_supported(n_rows)
     if split_bases is None:
         d = msgs.shape[1]
         dtype = msgs.dtype
@@ -2115,6 +2124,35 @@ def layout_operand_arrays(cs, aux):
     }
 
 
+def _check_layout_fingerprint(lay, cs):
+    """Trace-time consistency check between a traced layout bundle and the
+    static chunked-stream facts it must have been built from. The kernels
+    index with TPU `take` (clamping) and the per-chunk zips would silently
+    truncate, so a bundle built under a DIFFERENT cfg (gather_chunk_rows /
+    pad_fragments) than the apply-time one would yield wrong numerics, not
+    an error — catch it here via the bundle arrays' STATIC shapes."""
+    def _fail(what, got, want):
+        raise ValueError(
+            "layout operand bundle does not match the apply-time chunked "
+            f"stream ({what}: bundle has {got}, cs wants {want}) — it was "
+            "built under a different cfg (gather_chunk_rows/pad_fragments); "
+            "rebuild with models.hetero_gnn.build_layout_operands(cfg, meta)")
+    if len(lay["local_ids"]) != cs.n_chunks:
+        _fail("n_chunks", len(lay["local_ids"]), cs.n_chunks)
+    for c in range(cs.n_chunks):
+        if lay["local_ids"][c].shape[0] != len(cs.local_ids[c]):
+            _fail(f"local_ids[{c}] len", lay["local_ids"][c].shape[0],
+                  len(cs.local_ids[c]))
+        if lay["local_perm"][c].shape[0] != len(cs.local_perm[c]):
+            _fail(f"local_perm[{c}] len", lay["local_perm"][c].shape[0],
+                  len(cs.local_perm[c]))
+    for name, want in (("dst", np.asarray(cs.dst).shape),
+                       ("desc", np.asarray(_nonempty_desc(cs.desc)).shape),
+                       ("desc_offsets", np.asarray(cs.desc_offsets).shape)):
+        if tuple(lay[name].shape) != tuple(want):
+            _fail(f"{name} shape", tuple(lay[name].shape), tuple(want))
+
+
 def _take_tab_parts_t(tabs, lay, lens):
     """_take_tab_parts with traced per-chunk id vectors (emptiness is
     static layout info, so the dummy-block decision stays static)."""
@@ -2135,6 +2173,7 @@ def fused_gat_layer_gathered_t(tabs, att, a_dst_all, lay, cs, aux,
     block boundaries, fully_owned). The KGWAS_SPLIT_SEGSUM /
     KGWAS_DUS_ASSEMBLE opt-in experiments are not mirrored here (the
     default concat+plain-segsum backward is)."""
+    _check_layout_fingerprint(lay, cs)
     lens = tuple(len(i) for i in cs.local_ids)
     out, _, _ = _merged_forward_chunked(
         _take_tab_parts_t(tabs, lay, lens), _prep_att8(att),
@@ -2149,6 +2188,7 @@ def fused_gat_layer_gathered_t(tabs, att, a_dst_all, lay, cs, aux,
 
 def _fglgt_fwd(tabs, att, a_dst_all, lay, cs, aux, negative_slope,
                temperature, interpret, mode, rel_fold):
+    _check_layout_fingerprint(lay, cs)
     lens = tuple(len(i) for i in cs.local_ids)
     parts = _take_tab_parts_t(tabs, lay, lens)
     att8 = _prep_att8(att)

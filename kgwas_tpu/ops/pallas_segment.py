@@ -55,21 +55,41 @@ BN = int(_os.environ.get("KGWAS_PALLAS_BN", "256"))
 assert BN % LANE == 0 and BN in (128, 256, 512), BN
 
 _BN128_WARNED = False
+# padded dst-row count above which a BN=128 op on the real TPU backend is a
+# hard error (the probabilistic hang/INTERNAL regime starts around 25k
+# SNPs; at graph scale every op's row space crosses this). Escape hatch:
+# KGWAS_ALLOW_BN128=1 (for the staged repro harnesses, which exist to
+# reproduce exactly that failure).
+BN128_MAX_ROWS = 32_768
 
 
-def _check_bn_supported():
+def _check_bn_supported(n_rows=None):
     """BN=128 composed programs fail PROBABILISTICALLY on real TPU above
     ~25-50k SNPs — a hang or an opaque 'TPU backend error (Internal)';
     the same binary program can pass or fail across runs. Every kernel
     passes deterministically in isolation at any scale, so this is a
     backend/runtime defect under multi-kernel composition, fully
     characterized by the staged harnesses scripts/debug_bn128_{distill,
-    model_bisect,kernel_compose}.py (benchmarks/RESULTS.md). Warn loudly
-    on the TPU backend; CPU interpret experiments stay allowed. BN=512
-    is parity-tested (tests/test_bn_variants.py) and requires
-    node_pad_multiple=512."""
+    model_bisect,kernel_compose}.py (benchmarks/RESULTS.md). On the TPU
+    backend: HARD ERROR above BN128_MAX_ROWS padded rows (a config that
+    flakily wedges real runs must not be reachable by accident —
+    KGWAS_ALLOW_BN128=1 is the explicit escape hatch for the repro
+    harnesses), loud warning below it; CPU interpret experiments stay
+    unaffected. BN=512 is parity-tested (tests/test_bn_variants.py) and
+    requires node_pad_multiple=512."""
     global _BN128_WARNED
-    if BN < 256 and not _BN128_WARNED and jax.default_backend() == "tpu":
+    if BN >= 256 or jax.default_backend() != "tpu":
+        return
+    if (n_rows is not None and n_rows > BN128_MAX_ROWS
+            and _os.environ.get("KGWAS_ALLOW_BN128") != "1"):
+        raise RuntimeError(
+            f"KGWAS_PALLAS_BN={BN} on the TPU backend with n_rows={n_rows} "
+            f"> {BN128_MAX_ROWS}: composed BN=128 programs at this scale "
+            "hang or die with an opaque 'TPU backend error (Internal)' "
+            "PROBABILISTICALLY (benchmarks/RESULTS.md; "
+            "scripts/debug_bn128_*.py). Use BN>=256, or set "
+            "KGWAS_ALLOW_BN128=1 to run the known-flaky config anyway.")
+    if not _BN128_WARNED:
         _BN128_WARNED = True
         import warnings
 
@@ -597,7 +617,7 @@ def fused_segment_softmax_spmm(msgs, logits, dst, row_offsets_np, n_rows,
     row_offsets_np: NUMPY int32 [n_rows+1] (static, scalar-prefetched).
     n_rows must be a multiple of 256 (BN).
     """
-    _check_bn_supported()
+    _check_bn_supported(n_rows)
     out, _, _ = _fused_forward(
         msgs, logits, dst, jnp.asarray(row_offsets_np), n_rows, interpret
     )
@@ -711,7 +731,7 @@ def pallas_segment_sum(vals, ids, row_offsets, n_rows, interpret=False,
     """out[r] = sum_{e: ids[e]=r} vals[e]; ids ascending, n_rows % 256 == 0,
     D % 128 == 0. pre_padded: vals/ids already padded_stream_len long
     (sentinel ids = n_rows) — skips the [E, D] pad copy."""
-    _check_bn_supported()
+    _check_bn_supported(n_rows)
     d = vals.shape[1]
     n_tiles = n_rows // BN
     if pre_padded:
@@ -864,7 +884,7 @@ def segment_sum_windows(vals, ids, desc, desc_offsets, n_rows,
     pre_padded: as in pallas_segment_sum. split_bases: vals is a TUPLE of
     per-cut buffers (graph/merged_layout.SplitCscGroup) — the window DMA
     source is branch-selected; no concat ever materializes."""
-    _check_bn_supported()
+    _check_bn_supported(n_rows)
     n_tiles = n_rows // BN
     if split_bases is not None:
         d = vals[0].shape[1]

@@ -137,8 +137,11 @@ def main():
         rel_fold=os.environ.get("FULLKG_REL_FOLD", "0") == "1",
         # layout arrays as traced operands: keeps the 100s-of-MiB layout
         # index arrays OUT of the serialized HLO (the relay's
-        # /remote_compile broke on the literal form above ~400k SNPs)
-        layout_operands=os.environ.get("FULLKG_LAYOUT_OPERANDS", "0") == "1")
+        # /remote_compile broke on the literal form above ~400k SNPs).
+        # Single-chip only: mesh mode forces use_pallas=False and
+        # shard_graph_arrays has no sharding rule for merged_ops.
+        layout_operands=(not mesh_n) and
+        os.environ.get("FULLKG_LAYOUT_OPERANDS", "0") == "1")
     if cfg.layout_operands:
         from kgwas_tpu.models.hetero_gnn import build_layout_operands
 

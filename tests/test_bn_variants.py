@@ -61,3 +61,29 @@ def test_bn512_merged_parity_vs_xla():
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "BN512_PARITY_OK" in r.stdout
+
+
+def test_bn128_hard_error_at_scale(monkeypatch):
+    """BN=128 + TPU backend + >BN128_MAX_ROWS padded rows must RAISE unless
+    the explicit KGWAS_ALLOW_BN128=1 escape hatch is set (VERDICT r4: a
+    config that probabilistically wedges real runs must not be reachable
+    by accident). Interpret/CPU runs and small row spaces stay allowed."""
+    import pytest
+
+    from kgwas_tpu.ops import pallas_segment as ps
+
+    monkeypatch.setattr(ps, "BN", 128)
+    monkeypatch.setattr(ps.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("KGWAS_ALLOW_BN128", raising=False)
+    with pytest.raises(RuntimeError, match="KGWAS_ALLOW_BN128"):
+        ps._check_bn_supported(ps.BN128_MAX_ROWS + 256)
+    # below the scale threshold: warning path only, no raise
+    monkeypatch.setattr(ps, "_BN128_WARNED", True)
+    ps._check_bn_supported(1024)
+    # explicit escape hatch: allowed (the repro harnesses rely on this)
+    monkeypatch.setenv("KGWAS_ALLOW_BN128", "1")
+    ps._check_bn_supported(ps.BN128_MAX_ROWS + 256)
+    # CPU backend (interpret-mode experiments): never gated
+    monkeypatch.delenv("KGWAS_ALLOW_BN128", raising=False)
+    monkeypatch.setattr(ps.jax, "default_backend", lambda: "cpu")
+    ps._check_bn_supported(10**6)

@@ -309,6 +309,33 @@ def test_layout_operands_identical_and_shrinks_hlo():
     assert n_c - n_t > lo_bytes / 4, (n_c, n_t, lo_bytes)
 
 
+def test_layout_operands_fingerprint_mismatch_raises():
+    """A bundle built under a DIFFERENT cfg (gather_chunk_rows) than the
+    apply-time one must raise at trace time, not silently truncate/clamp
+    (round-4 advisor, medium)."""
+    import pytest
+
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import (apply_hetero_gnn,
+                                             build_layout_operands)
+
+    g = make_synthetic_kg(n_snp=600, n_gene=200, n_go=60, seed=53)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
+              pallas_mode="merged", layout_operands=True)
+    cfg_apply = ModelConfig(gather_chunk_rows=256, **kw)
+    cfg_other = ModelConfig(gather_chunk_rows=512, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_apply, meta,
+                             20, 32, 16)
+    stale = build_layout_operands(cfg_other, meta)
+    assert stale, "bundle-producing cfg must engage the gathered path"
+    arrays = {**cg.arrays(), "merged_ops": stale}
+    with pytest.raises(ValueError, match="layout operand bundle"):
+        apply_hetero_gnn(params, cfg_apply, meta, arrays)
+
+
 def test_full_model_merged_multihead_matches_xla():
     """H>1: one fused kernel per head + concat must match the XLA path
     (forward and grads), including the deeper-layer H*h input widths."""
