@@ -124,3 +124,63 @@ def make_synthetic_ld_scores(n_snp: int, seed: int = 0):
     ld = pd.DataFrame({"SNP": ids, "ldscore": rng.uniform(1.0, 100.0, size=n_snp)})
     w_ld = pd.DataFrame({"SNP": ids, "ldscore": rng.uniform(0.5, 60.0, size=n_snp)})
     return ld, w_ld
+
+
+def make_synthetic_subsample_sumstats(
+    n_snp: int,
+    pheno_seed: int,
+    sample_size: int,
+    seed: int,
+    ref_n: int = 50_000,
+    n_causal: Optional[int] = None,
+    return_causal: bool = False,
+):
+    """Subsampling power-analysis sumstats (the synthetic analog of the
+    reference's cohort-subsample PLINK/fastGWA reruns, reference
+    kgwas_data.py:367-389 / demo/kgwas_subsampling.ipynb).
+
+    The TRAIT ARCHITECTURE — map positions, allele freqs, the causal SNP
+    set and its true effects — is fixed by ``pheno_seed`` alone, so every
+    (sample_size, seed) subsample of one trait shares CHR/POS and the same
+    ground truth, and loci can be matched across runs. The marginal z of a
+    causal SNP scales as sqrt(sample_size / ref_n) (chi2 noncentrality is
+    linear in N); the finite-sample noise draw is governed by ``seed``.
+    At sample_size == ref_n this is the full-N gold run."""
+    if n_causal is None:
+        n_causal = max(n_snp // 100, 1)
+    rng_t = np.random.default_rng(900_000 + pheno_seed)
+    chrom = rng_t.integers(1, 23, size=n_snp)
+    pos = np.sort(rng_t.integers(1, 2_000_000, size=n_snp))
+    af = rng_t.uniform(0.05, 0.5, size=n_snp)
+    causal_idx = np.sort(rng_t.choice(n_snp, size=n_causal, replace=False))
+    true_z_ref = np.zeros(n_snp)
+    # effect sizes at ref_n: half discoverable (|z|~7-10), half marginal
+    # (|z|~3-6) so power visibly climbs with N instead of saturating
+    true_z_ref[causal_idx] = (rng_t.uniform(3.0, 10.0, size=n_causal)
+                              * rng_t.choice([-1.0, 1.0], size=n_causal))
+
+    rng_s = np.random.default_rng(
+        np.random.SeedSequence([7_700_000, pheno_seed, sample_size, seed]))
+    z = (true_z_ref * np.sqrt(sample_size / ref_n)
+         + rng_s.standard_normal(n_snp))
+    se = np.full(n_snp, 0.01)
+    from scipy.stats import norm
+
+    p = np.clip(2.0 * norm.sf(np.abs(z)), 1e-300, 1.0)
+    df = pd.DataFrame(
+        {
+            "CHR": chrom,
+            "SNP": [f"rs{i}" for i in range(n_snp)],
+            "POS": pos,
+            "A1": "A",
+            "A2": "G",
+            "N": sample_size,
+            "AF1": af,
+            "BETA": z * se,
+            "SE": se,
+            "P": p,
+        }
+    )
+    if return_causal:
+        return df, causal_idx
+    return df

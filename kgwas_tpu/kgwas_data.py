@@ -26,6 +26,7 @@ from .graph.shard_compile import CompiledGraph, compile_graph
 from .graph.synthetic import (
     make_synthetic_kg,
     make_synthetic_ld_scores,
+    make_synthetic_subsample_sumstats,
     make_synthetic_sumstats,
 )
 from .graph.transforms import standard_kg_transforms
@@ -469,6 +470,25 @@ class KGWAS_Data:
             lr_uni = pd.read_csv(fp, sep="\t")
         self.lr_uni = lr_uni
         self.seed = seed
+
+    def load_synthetic_gwas_subsample(self, pheno_seed, sample_size, seed,
+                                      ref_n=50_000):
+        """Synthetic analog of load_gwas_subsample (reference
+        kgwas_data.py:367-389): trait architecture fixed by pheno_seed,
+        marginal power scaling with sample_size, fresh subsample noise per
+        seed — drives the full subsampling power-analysis workflow
+        (scripts/run_sweep.py --synthetic-n-snp) without the UKBB cohort."""
+        assert self._synthetic, "only valid for from_synthetic data"
+        df, causal = make_synthetic_subsample_sumstats(
+            len(self.idx2id["SNP"]), pheno_seed=pheno_seed,
+            sample_size=sample_size, seed=seed, ref_n=ref_n,
+            return_causal=True)
+        self.lr_uni = df.rename(columns={"CHR": "#CHROM", "SNP": "ID"})
+        self.sample_size = sample_size
+        self.pheno = f"synthetic_{pheno_seed}"
+        self.seed = seed
+        self._synth_causal_idx = causal
+        return self
 
     # -- processing + splits (reference kgwas_data.py:391-545) --------------
 

@@ -52,7 +52,8 @@ g = make_synthetic_kg(n_snp=50_000, n_gene=5_000, n_go=3_000, snp_dim=20,
                       gene_dim=128, go_dim=128, avg_degree=6, seed=0)
 cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=spec["bn"])
 cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
-                  use_pallas=spec["pallas"], matmul_precision="highest")
+                  use_pallas=spec["pallas"], matmul_precision="highest",
+                  rel_fold=bool(spec.get("fold", 0)))
 meta = cg.meta()
 params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)
 arrays = jax.device_put(cg.arrays())
@@ -89,6 +90,17 @@ VARIANTS = [
     ("bn256_nodyn", dict(bn=256, dyn128=0, pallas=True)),
     ("bn512_dyn128", dict(bn=512, dyn128=1, pallas=True)),
 ]
+
+# BN_PARITY_FOLD=1: the round-5 default-flip gate — rel_fold ON in the
+# Pallas variants (the cotangent-broadcast elimination whose hardware gate
+# was interrupted in round 4), against the same XLA oracle. 3 children to
+# keep fresh relay compiles to a minimum.
+if os.environ.get("BN_PARITY_FOLD", "0") == "1":
+    VARIANTS = [
+        ("xla", dict(bn=256, dyn128=1, pallas=False)),
+        ("bn256_fold", dict(bn=256, dyn128=1, pallas=True, fold=1)),
+        ("bn512_fold", dict(bn=512, dyn128=1, pallas=True, fold=1)),
+    ]
 
 
 def run_child(name, spec, tmp):

@@ -165,6 +165,33 @@ def main():
         except Exception:
             return 0
 
+    # FULLKG_LOWER_ONLY=1: trace + lower the single-chip train step and
+    # print the serialized stablehlo size WITHOUT compiling or touching the
+    # device — the direct measurement of the /remote_compile payload that
+    # killed the round-4 2M attempts (HLO-literal layout arrays).
+    if os.environ.get("FULLKG_LOWER_ONLY", "0") == "1" and not mesh_n:
+        step = make_train_step(cfg, meta, optimizer)
+        params = jax.tree_util.tree_map(np.asarray, params)
+        opt_state = jax.tree_util.tree_map(np.asarray, opt_state)
+        n_pad = cg.padded_nodes["SNP"]
+        rng = np.random.default_rng(0)
+        y = rng.random(n_pad).astype(np.float32)
+        w = np.ones(n_pad, np.float32)
+        bidx = rng.integers(0, cg.num_nodes["SNP"], 512).astype(np.int32)
+        t0 = time.time()
+        low = step.lower(params, opt_state, arrays_np, bidx, y, w)
+        t_trace = time.time() - t0
+        t0 = time.time()
+        txt_len = len(low.as_text())
+        print(json.dumps({
+            "lower_only": True, "n_snp": n_snp,
+            "layout_operands": cfg.layout_operands,
+            "stablehlo_bytes": txt_len,
+            "trace_s": round(t_trace, 1),
+            "as_text_s": round(time.time() - t0, 1),
+        }), flush=True)
+        return
+
     try:
         if mesh_n:
             from kgwas_tpu.parallel.mesh import make_mesh

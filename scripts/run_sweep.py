@@ -11,6 +11,9 @@ import argparse
 import itertools
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def job_list(args):
@@ -23,21 +26,59 @@ def job_list(args):
     return [("subsample", p, n, s) for p, n, s in combos]
 
 
+def loci_leads(res, p_col, t_p=5e-8):
+    """Independent loci at t_p as (chrom, lead cM) pairs: greedy clumps
+    (singletons without an LD panel) merged into 0.1 cM mega-clumps, the
+    reference's counting unit (reference eval_utils.py:58-99). res must
+    carry #CHROM / POS columns (merged from lr_uni by the caller)."""
+    import pandas as pd
+
+    from kgwas_tpu.stats.clumps import build_clumps, get_meta_clumps
+
+    hits = res[res[p_col] < t_p]
+    if not len(hits):
+        return []
+    order = hits.sort_values(p_col).ID.values
+    clumps = build_clumps(order, {})
+    bim_df = pd.DataFrame({
+        0: res["#CHROM"].values,
+        1: res.ID.values,
+        2: res.POS.values / 1e6,
+    })
+    _, mega_rsids, _ = get_meta_clumps(clumps, data_path=None, bim_df=bim_df)
+    id2cm = dict(zip(res.ID.values, res.POS.values / 1e6))
+    id2chr = dict(zip(res.ID.values, res["#CHROM"].values))
+    return sorted({(int(id2chr[ids[0]]), float(id2cm[ids[0]]))
+                   for ids in mega_rsids.values()})
+
+
 def run_job(job, args):
     from kgwas_tpu import KGWAS, KGWAS_Data
 
-    data = KGWAS_Data(data_path=args.data_path)
-    data.load_kg(
-        snp_init_emb=args.snp_emb,
-        go_init_emb=args.go_emb,
-        gene_init_emb=args.gene_emb,
-        sample_edges=args.sample_edges,
-        sample_ratio=args.sample_ratio,
-    )
+    if args.synthetic_n_snp:
+        n = args.synthetic_n_snp
+        data = KGWAS_Data.from_synthetic(
+            n_snp=n, n_gene=max(n // 10, 40), n_go=max(n // 17, 20),
+            snp_dim=20, gene_dim=128, go_dim=128, avg_degree=6,
+            seed=0, data_path=args.data_path)
+    else:
+        data = KGWAS_Data(data_path=args.data_path)
+        data.load_kg(
+            snp_init_emb=args.snp_emb,
+            go_init_emb=args.go_emb,
+            gene_init_emb=args.gene_emb,
+            sample_edges=args.sample_edges,
+            sample_ratio=args.sample_ratio,
+        )
     if job[0] == "simulation":
         _, sim_type, seed = job
         data.load_simulation_gwas(sim_type, seed)
         name = f"sim_{sim_type}_{seed}"
+    elif args.synthetic_n_snp:
+        _, pheno, n, seed = job
+        data.load_synthetic_gwas_subsample(int(pheno), n, seed,
+                                           ref_n=args.ref_n)
+        name = f"syn{pheno}_{n}_{seed}"
     else:
         _, pheno, n, seed = job
         data.load_gwas_subsample(pheno, n, seed)
@@ -53,13 +94,26 @@ def run_job(job, args):
         train_kwargs["mesh"] = args.mesh_data
     res = run.train(epoch=args.epochs, batch_size=args.batch_size,
                     save_best_model=False, **train_kwargs)
-    return {
+    out = {
         "job": list(job),
         "gwas_hits_5e8": int((res.P < 5e-8).sum()),
         "kgwas_hits_5e8": int((res.KGWAS_P < 5e-8).sum()),
         "test_metrics": run.test_metrics,
         "scale_factor": run.scale_factor,
     }
+    # loci + causal-recovery accounting for the power analysis summary
+    # (benchmarks/SUBSAMPLE.md); res carries #CHROM/POS from the sumstats
+    out["gwas_loci"] = loci_leads(res, "P")
+    out["kgwas_loci"] = loci_leads(res, "KGWAS_P")
+    causal = getattr(data, "_synth_causal_idx", None)
+    if causal is not None:
+        causal_ids = {f"rs{i}" for i in causal}
+        out["n_causal"] = len(causal_ids)
+        out["gwas_causal_recovered"] = int(
+            res[(res.P < 5e-8) & res.ID.isin(causal_ids)].shape[0])
+        out["kgwas_causal_recovered"] = int(
+            res[(res.KGWAS_P < 5e-8) & res.ID.isin(causal_ids)].shape[0])
+    return out
 
 
 def main():
@@ -81,6 +135,13 @@ def main():
     ap.add_argument("--go-emb", default="random")
     ap.add_argument("--gene-emb", default="esm")
     ap.add_argument("--sample-edges", action="store_true")
+    ap.add_argument("--synthetic-n-snp", type=int, default=0,
+                    help="run the sweep on a synthetic KG of this many SNPs"
+                         " (phenos are integer trait seeds; subsample mode"
+                         " uses load_synthetic_gwas_subsample)")
+    ap.add_argument("--ref-n", type=int, default=50_000,
+                    help="full-cohort N for the synthetic power scaling"
+                         " (the gold run is sample_size == ref_n)")
     ap.add_argument("--sample-ratio", type=float, default=1.0)
     ap.add_argument("--host-index", type=int, default=None)
     ap.add_argument("--num-hosts", type=int, default=None)
