@@ -175,3 +175,89 @@ def test_example_gwas_download_path(bundle, tmp_path, monkeypatch):
         bundle["src"], "biochemistry_Creatinine_fastgwa_full_10000_1.fastGWA")
     assert os.path.exists(cached)
     os.remove(cached)
+
+
+def test_reference_loader_cross_check_on_bundle(bundle):
+    """VERDICT r4 item 6: run the REFERENCE's own KGWAS_Data.load_kg
+    (reference kgwas_data.py:112-273, verbatim under the pyg_shim) on the
+    SAME fabricated layout-exact bundle and assert this framework's loader
+    materializes identical feature matrices and edge inventories — so any
+    misreading of the pkl/CSV quirks (enformer/esm keyed-dict lookups,
+    rand-fallback rows for missing ids, ToUndirected/AddSelfLoops relation
+    inventory) fails loudly. Rand-fallback rows (5 SNPs, 2 genes) are
+    compared structurally; GO 'random' embeddings by shape/range."""
+    import importlib
+    import sys
+    import types
+
+    SHIM = os.path.join(os.path.dirname(__file__), "pyg_shim")
+    REF = os.environ.get("KGWAS_REFERENCE_DIR", "/root/reference/kgwas")
+    if not os.path.isfile(os.path.join(REF, "kgwas_data.py")):
+        pytest.skip(f"reference sources not available at {REF}")
+
+    sys.path.insert(0, SHIM)
+    try:
+        for m in list(sys.modules):
+            if m.split(".")[0] in ("torch_geometric", "torch_sparse",
+                                   "refkgwas"):
+                del sys.modules[m]
+        pkg = types.ModuleType("refkgwas")
+        pkg.__path__ = [REF]
+        sys.modules["refkgwas"] = pkg
+        ref_mod = importlib.import_module("refkgwas.kgwas_data")
+
+        ref = ref_mod.KGWAS_Data(data_path=bundle["src"])
+        ref.load_kg(snp_init_emb="enformer", go_init_emb="random",
+                    gene_init_emb="esm")
+        refd = ref.data
+    finally:
+        sys.path.remove(SHIM)
+
+    ours = KGWAS_Data(data_path=bundle["src"], offline=True)
+    ours.load_kg(snp_init_emb="enformer", go_init_emb="random",
+                 gene_init_emb="esm")
+    g = ours.graph
+
+    # --- node id maps ----------------------------------------------------
+    assert ours.idx2id == ref.idx2id and ours.id2idx == ref.id2idx
+
+    # --- feature matrices ------------------------------------------------
+    with open(os.path.join(
+            bundle["src"],
+            "cell_kg/node_emb/variant_emb/enformer_feat.pkl"), "rb") as f:
+        enf = pickle.load(f)
+    with open(os.path.join(
+            bundle["src"],
+            "cell_kg/node_emb/gene_emb/esm_feat.pkl"), "rb") as f:
+        esm = pickle.load(f)
+    for ntype, table in (("SNP", enf), ("Gene", esm)):
+        ref_x = refd[ntype].x.numpy()
+        our_x = g.node_features[ntype]
+        assert ref_x.shape == our_x.shape
+        assert ref_x.dtype == our_x.dtype == np.float32
+        present = [i for i, nid in ref.idx2id[ntype].items() if nid in table]
+        missing = [i for i, nid in ref.idx2id[ntype].items()
+                   if nid not in table]
+        assert missing, f"{ntype}: bundle must exercise the rand fallback"
+        # present rows: BIT-FOR-BIT across reference loader, our loader,
+        # and the pkl source of truth
+        np.testing.assert_array_equal(ref_x[present], our_x[present])
+        np.testing.assert_array_equal(
+            our_x[present],
+            np.stack([table[ref.idx2id[ntype][i]] for i in present]))
+        # fallback rows: structural parity (torch.rand / default_rng draws
+        # differ by construction): uniform [0,1), not copied from the table
+        for x in (ref_x, our_x):
+            assert (x[missing] >= 0).all() and (x[missing] < 1).all()
+            assert np.abs(x[missing]).sum() > 0
+    for t in ("CellularComponent", "BiologicalProcess", "MolecularFunction"):
+        assert refd[t].x.shape == g.node_features[t].shape == (N_GO, 128)
+
+    # --- edge inventory after ToUndirected + AddSelfLoops ----------------
+    ref_edges = {et: refd[et].edge_index.numpy() for et in refd.edge_types}
+    assert set(ref_edges) == set(g.edge_index), (
+        sorted(set(ref_edges) ^ set(g.edge_index)))
+    for et in ref_edges:
+        np.testing.assert_array_equal(
+            ref_edges[et], g.edge_index[et],
+            err_msg=f"edge mismatch for {et}")
