@@ -147,8 +147,16 @@ def main():
 
         t0 = time.time()
         arrays_np["merged_ops"] = build_layout_operands(cfg, cg.meta())
-        lo_bytes = sum(a.nbytes for a in
-                       jax.tree_util.tree_leaves(arrays_np["merged_ops"]))
+        lo_bytes = 0
+        for dst_t, lay in arrays_np["merged_ops"].items():
+            gt = 0
+            for k, v in lay.items():
+                b = sum(np.asarray(x).nbytes for x in
+                        (v if isinstance(v, tuple) else (v,)))
+                gt += b
+                print(f"[fullkg]   merged_ops[{dst_t}].{k:14s} {human(b)}",
+                      flush=True)
+            lo_bytes += gt
         print(f"[fullkg] layout operands: {human(lo_bytes)} moved out of "
               f"the HLO ({time.time()-t0:.0f}s host)", flush=True)
     meta = cg.meta()

@@ -25,12 +25,14 @@ def main():
     pid, nproc, port, outfile = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
 
-    # CPU with 2 local devices — must happen before any backend init
-    # (sitecustomize pins JAX_PLATFORMS to the TPU tunnel at startup)
+    # CPU with MH_LOCAL_DEVICES (default 2) local devices — must happen
+    # before any backend init (sitecustomize pins JAX_PLATFORMS to the TPU
+    # tunnel at startup)
+    n_local = int(os.environ.get("MH_LOCAL_DEVICES", "2"))
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=2").strip()
+        flags + f" --xla_force_host_platform_device_count={n_local}").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -44,8 +46,8 @@ def main():
         process_id=pid,
     )
     assert process_count == nproc
-    assert jax.device_count() == 2 * nproc
-    assert jax.local_device_count() == 2
+    assert jax.device_count() == n_local * nproc
+    assert jax.local_device_count() == n_local
 
     import numpy as np
     import jax.numpy as jnp
@@ -63,14 +65,34 @@ def main():
         replicated,
     )
 
-    n_dev = 2 * nproc
-    # deterministic identical pipeline on every process
-    g = make_synthetic_kg(n_snp=96, n_gene=40, n_go=16, seed=3)
-    cg = compile_graph(g, edge_pad_multiple=16 * n_dev,
-                       node_pad_multiple=8 * n_dev)
-    cfg = ModelConfig(gnn_hidden_dim=16, no_relu=True)
+    n_dev = n_local * nproc
+    # deterministic identical pipeline on every process. Scale overrides
+    # (MH_N_SNP etc.) let scripts/exp_fullkg_2proc drive the SAME worker at
+    # full-KG scale: 2 processes x 1 device each routes every collective
+    # through the cross-process CPU backend, sidestepping XLA:CPU's
+    # in-process 40 s rendezvous wall (benchmarks/RESULTS.md round 4).
+    n_snp = int(os.environ.get("MH_N_SNP", "96"))
+    if n_snp == 96:
+        g = make_synthetic_kg(n_snp=96, n_gene=40, n_go=16, seed=3)
+        snp_dim, gene_dim, go_dim = 20, 32, 16
+        cg = compile_graph(g, edge_pad_multiple=16 * n_dev,
+                           node_pad_multiple=8 * n_dev)
+    else:
+        snp_dim, gene_dim, go_dim = 20, 128, 128
+        g = make_synthetic_kg(
+            n_snp=n_snp, n_gene=n_snp // 10, n_go=max(n_snp // 17, 100),
+            snp_dim=snp_dim, gene_dim=gene_dim, go_dim=go_dim,
+            avg_degree=6, seed=0)
+        cg = compile_graph(g, edge_pad_multiple=8192,
+                           node_pad_multiple=int(
+                               os.environ.get("MH_NODE_PAD", "256")))
+    hidden = int(os.environ.get("MH_HIDDEN", "16"))
+    cfg = ModelConfig(gnn_hidden_dim=hidden, no_relu=True,
+                      stream_dtype=os.environ.get("MH_STREAM_DTYPE") or None,
+                      remat=os.environ.get("MH_REMAT", "0") == "1")
     meta = cg.meta()
-    params_host = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 32, 16)
+    params_host = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta,
+                                  snp_dim, gene_dim, go_dim)
 
     mesh = make_mesh(data=n_dev, model=1)
 
@@ -111,16 +133,35 @@ def main():
     opt_state = optimizer.init(params)
     step = make_sharded_train_step(cfg, meta, optimizer, mesh, arrays)
 
+    import time as _time
+
     losses = []
-    for _ in range(3):
+    t0 = _time.time()
+    step_times = []
+    for _ in range(int(os.environ.get("MH_STEPS", "3"))):
         params, opt_state, loss = step(
             params, opt_state, arrays, batch_idx, y_node, w_node)
         losses.append(float(loss))  # replicated scalar: same on every host
+        step_times.append(round(_time.time() - t0, 1))
+        t0 = _time.time()
+        print(f"[multihost_worker {pid}] step {len(losses)} "
+              f"loss={losses[-1]:.4f} {step_times[-1]}s", flush=True)
+
+    # REAL per-device byte accounting (the VERDICT item-7 contract)
+    per_dev = {}
+    for leaf in jax.tree_util.tree_leaves((arrays, y_node, w_node)):
+        for sh in leaf.addressable_shards:
+            per_dev[sh.device.id] = (per_dev.get(sh.device.id, 0)
+                                     + sh.data.nbytes)
 
     if process_index == 0:
         with open(outfile, "w") as f:
             json.dump({"losses": losses, "device_count": jax.device_count(),
-                       "process_count": process_count}, f)
+                       "process_count": process_count,
+                       "n_snp": n_snp,
+                       "real_edges": cg.total_real_edges(),
+                       "step_times_s": step_times,
+                       "per_device_bytes_p0": per_dev}, f)
     # all processes must reach shutdown together
     jax.distributed.shutdown()
     print(f"[multihost_worker {pid}] ok losses={losses}")
