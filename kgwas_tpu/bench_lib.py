@@ -78,7 +78,9 @@ def main():
         avg_degree=avg_degree,
         seed=0,
     )
-    node_pad = int(os.environ.get("BENCH_NODE_PAD", 256))
+    from .ops.pallas_segment import BN
+
+    node_pad = int(os.environ.get("BENCH_NODE_PAD", max(256, BN)))
     cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=node_pad)
     cfg = ModelConfig(
         gnn_hidden_dim=hidden,

@@ -209,7 +209,10 @@ def cmd_warm_cache(args):
             n_snp=n_snp, n_gene=max(n_snp // 10, 40),
             n_go=max(n_snp // 17, 20), snp_dim=20, gene_dim=128, go_dim=128,
             avg_degree=6, seed=0)
-        cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+        from .ops.pallas_segment import BN
+
+        cg = compile_graph(g, edge_pad_multiple=8192,
+                           node_pad_multiple=max(256, BN))
         cfg = ModelConfig(
             gnn_hidden_dim=spec["hidden"], gnn_num_layers=2,
             use_pallas=jax.default_backend() == "tpu")

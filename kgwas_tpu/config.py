@@ -74,7 +74,7 @@ class ModelConfig:
     remat: bool = False              # jax.checkpoint each conv layer
     use_pallas: bool = False         # fused segment-softmax-SpMM kernel for
                                      # the GAT aggregation (requires heads=1,
-                                     # softmax mode, node_pad_multiple=256)
+                                     # softmax mode, node_pad_multiple=BN)
     pallas_mode: str = "merged"      # "merged": one kernel per dst type per
                                      # layer over concatenated relation
                                      # streams (fastest); "relation": one

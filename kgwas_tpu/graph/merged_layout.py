@@ -116,6 +116,14 @@ class ChunkedStreamLayout:     # args through custom-VJP boundaries
 # per-chunk cotangent tables (see local_perm) also ride the fast emitter.
 EMITTER_FAST_ROWS = 131072
 
+# Max tolerated stream amplification (padded/window rows over real edges)
+# for the chunked gathered path. Groups over the cap (e.g. the 2M-SNP dst
+# group: ~7.8k dst tiles x hundreds of chunks, a few edges per fragment,
+# 32x once BE-padded) fall back to the plain/owned paths in
+# models.hetero_gnn.apply_merged_gat_layer. Mirrors the 1.5 guard on the
+# window/owned-plain layouts.
+CHUNK_READ_AMP_MAX = 1.5
+
 
 def _chunk_bounds(L: MergedDstLayout, max_chunk_rows: int,
                   max_chunk_edges: int = EMITTER_FAST_ROWS) -> np.ndarray:

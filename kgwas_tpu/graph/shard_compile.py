@@ -107,7 +107,7 @@ class CompiledGraph:
     def merged_layouts(self):
         """Per-dst-type merged edge layouts (graph/merged_layout.py), built
         lazily and cached; None when CSR wasn't built or node padding isn't
-        kernel-tile aligned (node_pad_multiple=256)."""
+        kernel-tile aligned (node_pad_multiple = BN, 512 default)."""
         if not self.relations:
             return None
         if next(iter(self.relations.values())).row_offsets is None:

@@ -197,7 +197,17 @@ class KGWAS:
             arrays = shard_graph_arrays(mesh, cg.arrays())
         else:
             self._x_host = {}
-            arrays = jax.device_put(cg.arrays())
+            arrays_np = cg.arrays()
+            if getattr(self.model_cfg, "layout_operands", False):
+                # layout index arrays ride the arrays pytree as traced
+                # operands instead of HLO literals — required above ~400k
+                # SNPs where the serialized literal program breaks remote
+                # compile endpoints (models.hetero_gnn.build_layout_operands)
+                from .models.hetero_gnn import build_layout_operands
+
+                arrays_np["merged_ops"] = build_layout_operands(
+                    self.model_cfg, cg.meta())
+            arrays = jax.device_put(arrays_np)
 
         n_pad = cg.padded_nodes["SNP"]
         y_node = np.zeros(n_pad, dtype=np.float32)

@@ -610,9 +610,15 @@ class KGWAS_Data:
     # -- shard compilation (new: TPU path) ----------------------------------
 
     def compile(self, edge_pad_multiple: int = 512,
-                node_pad_multiple: int = 256, force: bool = False):
-        """node_pad_multiple=256 aligns node row spaces to the Pallas kernel
-        tile (<=255 pad rows per type; required for the fused TPU path)."""
+                node_pad_multiple: Optional[int] = None, force: bool = False):
+        """node_pad_multiple defaults to the Pallas kernel tile BN (512; the
+        benched config) so node row spaces are kernel-tile aligned — the
+        fused TPU path requires every per-relation row/src block to be a BN
+        multiple."""
+        if node_pad_multiple is None:
+            from .ops.pallas_segment import BN
+
+            node_pad_multiple = max(256, BN)
         if self.compiled is None or force:
             self.compiled = compile_graph(
                 self.graph,

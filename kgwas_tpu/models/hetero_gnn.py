@@ -251,27 +251,49 @@ def build_layout_operands(cfg: ModelConfig, meta: dict) -> dict:
     jitted steps as ARGUMENTS (HLO parameters) instead of closed-over
     numpy (stablehlo literals — 556 MiB of program text at 2M SNPs, which
     broke the relay compile endpoint; benchmarks/RESULTS.md round 4)."""
-    from ..graph.merged_layout import EMITTER_FAST_ROWS, get_chunked_stream
-    from ..ops.pallas_gat_layer import layout_operand_arrays
+    from ..graph.merged_layout import (CHUNK_READ_AMP_MAX,
+                                       EMITTER_FAST_ROWS, get_chunked_stream,
+                                       get_owned_plain_stream)
+    from ..ops.pallas_gat_layer import (layout_operand_arrays,
+                                        plain_layout_operand_arrays,
+                                        raw_layout_operand_arrays)
 
     out = {}
     merged = meta.get("merged") or {}
     chunk_rows = (cfg.gather_chunk_rows if cfg.gather_chunk_rows is not None
                   else EMITTER_FAST_ROWS)
+    pad_frags = (cfg.pad_fragments if cfg.pad_fragments is not None
+                 else True)
     for dst_t, L in merged.items():
+        # path decision MIRRORS apply_merged_gat_layer exactly (incl. the
+        # CHUNK_READ_AMP_MAX guard) so the bundle inventory always matches
+        # the apply-time choice; bundles are tagged by kind
         use_chunked = (chunk_rows > 0
                        and L.n_src_total > min(EMITTER_FAST_ROWS,
                                                2 * chunk_rows))
-        if not use_chunked:
+        cs = (get_chunked_stream(L, chunk_rows, pad_fragments=pad_frags)
+              if use_chunked else None)
+        if cs is not None and cs.read_amp > CHUNK_READ_AMP_MAX:
+            cs = None
+        if cs is not None and cs.fully_owned:
+            aux = (L.csc_ids, L.csc_offsets, L.n_src_total, L.n_rows_total,
+                   L.tile2rel)
+            out[dst_t] = {"chunked": layout_operand_arrays(cs, aux)}
             continue
-        pad_frags = (cfg.pad_fragments if cfg.pad_fragments is not None
-                     else True)
-        cs = get_chunked_stream(L, chunk_rows, pad_fragments=pad_frags)
-        if not cs.fully_owned:
-            continue
-        aux = (L.csc_ids, L.csc_offsets, L.n_src_total, L.n_rows_total,
-               L.tile2rel)
-        out[dst_t] = layout_operand_arrays(cs, aux)
+        win_edges = cfg.bwd_window_edges or 0
+        if (cs is None and win_edges == 0 and pad_frags and chunk_rows > 0
+                and len(L.src) > EMITTER_FAST_ROWS):
+            pl_lay = get_owned_plain_stream(L)
+            if not (pl_lay.read_amp > 1.5 or pl_lay.sum_read_amp > 1.5):
+                aux = (L.n_src_total, L.n_rows_total, L.tile2rel)
+                out[dst_t] = {
+                    "plain": plain_layout_operand_arrays(pl_lay, aux)}
+                continue
+        # raw fallback: any remaining group big enough for its layout
+        # literals to matter gets the traced raw bundle (path-choice
+        # neutral — same kernels as the literal raw path)
+        if win_edges == 0 and len(L.src) > EMITTER_FAST_ROWS:
+            out[dst_t] = {"raw": raw_layout_operand_arrays(L)}
     return out
 
 
@@ -295,7 +317,8 @@ def apply_merged_gat_layer(
     import numpy as _np
     import jax as _jax
 
-    from ..graph.merged_layout import (EMITTER_FAST_ROWS, get_chunked_stream,
+    from ..graph.merged_layout import (CHUNK_READ_AMP_MAX,
+                                       EMITTER_FAST_ROWS, get_chunked_stream,
                                        get_csc_windows,
                                        get_owned_plain_stream)
     from ..ops.pallas_gat_layer import (fused_gat_layer,
@@ -303,6 +326,8 @@ def apply_merged_gat_layer(
                                         fused_gat_layer_gathered,
                                         fused_gat_layer_gathered_t,
                                         fused_gat_layer_plain_gathered,
+                                        fused_gat_layer_plain_gathered_t,
+                                        fused_gat_layer_raw_gathered_t,
                                         fused_gat_layer_unnorm)
     from ..ops.pallas_segment import (gather_rows_csc, gather_rows_chunked,
                                       gather_rows_csc_win)
@@ -334,6 +359,12 @@ def apply_merged_gat_layer(
                      else True)
         cs = (get_chunked_stream(L, chunk_rows, pad_fragments=pad_frags)
               if use_chunked else None)
+        # fragment-padding amplification guard: groups with many dst tiles
+        # x many chunks but few edges per (chunk, tile) fragment explode
+        # under BE-padding (measured 32x on the 2M SNP dst group — a 107 GB
+        # phantom stream). Such groups take the plain/owned paths instead.
+        if cs is not None and cs.read_amp > CHUNK_READ_AMP_MAX:
+            cs = None
         # fragment-windowed backward permute for plain-stream groups whose
         # E-row cotangent table is on the slow emitter while the forward
         # table is already fast (SNP-shaped: small src space, huge E).
@@ -425,7 +456,8 @@ def apply_merged_gat_layer(
                     # takes ride the fast gather emitter
                     aux = (L.csc_ids, L.csc_offsets, L.n_src_total,
                            L.n_rows_total, L.tile2rel)
-                    lay_t = layout_ops.get(dst_t) if layout_ops else None
+                    lay_t = (layout_ops.get(dst_t, {}).get("chunked")
+                             if layout_ops else None)
                     if lay_t is not None:
                         # traced-layout variant: layout arrays ride the
                         # arrays pytree as HLO parameters (see
@@ -470,12 +502,39 @@ def apply_merged_gat_layer(
                         a_dst_all.astype(jnp.float32),
                     )
                 elif pl_lay is not None:
-                    out_all = fused_gat_layer_plain_gathered(
+                    layp = (layout_ops.get(dst_t, {}).get("plain")
+                            if layout_ops else None)
+                    if layp is not None:
+                        # traced-layout variant: plain layout arrays ride
+                        # the arrays pytree as HLO parameters (see
+                        # build_layout_operands)
+                        out_all = fused_gat_layer_plain_gathered_t(
+                            xs_all, att.astype(jnp.float32),
+                            a_dst_all.astype(jnp.float32), layp, pl_lay,
+                            (L.n_src_total, L.n_rows_total, L.tile2rel),
+                            cfg.negative_slope, cfg.temperature, interpret,
+                            mode, fold,
+                        )
+                    else:
+                        out_all = fused_gat_layer_plain_gathered(
+                            xs_all, att.astype(jnp.float32),
+                            a_dst_all.astype(jnp.float32), pl_lay,
+                            (L.n_src_total, L.n_rows_total, L.tile2rel),
+                            cfg.negative_slope, cfg.temperature, interpret,
+                            mode, fold,
+                        )
+                elif (layout_ops and mode == "softmax" and wl is None
+                        and layout_ops.get(dst_t, {}).get("raw") is not None):
+                    # traced-layout raw path: gather + layer in one op with
+                    # the layout bundle as HLO parameters (see
+                    # build_layout_operands)
+                    out_all = fused_gat_layer_raw_gathered_t(
                         xs_all, att.astype(jnp.float32),
-                        a_dst_all.astype(jnp.float32), pl_lay,
-                        (L.n_src_total, L.n_rows_total, L.tile2rel),
+                        a_dst_all.astype(jnp.float32),
+                        layout_ops[dst_t]["raw"], L,
+                        (L.n_src_total, L.n_rows_total),
                         cfg.negative_slope, cfg.temperature, interpret,
-                        mode, fold,
+                        fold,
                     )
                 else:
                     if wl is not None:

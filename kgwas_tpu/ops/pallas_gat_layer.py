@@ -2385,6 +2385,261 @@ def _fglpg_bwd(lay, aux, negative_slope, temperature, interpret, mode,
 fused_gat_layer_plain_gathered.defvjp(_fglpg_fwd, _fglpg_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Traced-layout variant of the owned-plain op (same motivation as
+# fused_gat_layer_gathered_t: layout index arrays as HLO PARAMETERS, not
+# literals — at 2M SNPs the SNP/BP/CC/MF dst groups take this path after
+# the CHUNK_READ_AMP_MAX guard, and their plain layouts alone would bake
+# hundreds of MiB of literals into the program text).
+# ---------------------------------------------------------------------------
+
+
+def plain_layout_operand_arrays(lay, aux):
+    """Numpy bundle of the owned-plain path's layout arrays, to be
+    device_put ONCE (ride the graph `arrays` pytree) and passed to
+    fused_gat_layer_plain_gathered_t as a traced argument."""
+    from .pallas_segment import pad_stream_ids_np
+
+    n_src_total, n_rows, _ = aux
+    dbase = _desc_base_cached(lay, lay.desc, lay.desc_offsets, lay.dst,
+                              n_rows)
+    return {
+        "src": np.asarray(lay.src, np.int32),
+        "dst": np.asarray(lay.dst, np.int32),
+        "desc": np.asarray(_nonempty_desc(lay.desc), np.int32),
+        "desc_offsets": np.asarray(lay.desc_offsets, np.int32),
+        "desc_base": np.asarray(dbase, np.int32),
+        "local_perm": tuple(np.asarray(pm, np.int32)
+                            for pm in lay.local_perm),
+        "sum_ids_pad": np.asarray(
+            pad_stream_ids_np(lay.sum_ids, n_src_total), np.int32),
+        "sum_desc": np.asarray(
+            lay.sum_desc if len(lay.sum_desc) else np.zeros(1, np.int32),
+            np.int32),
+        "sum_desc_offsets": np.asarray(lay.sum_desc_offsets, np.int32),
+    }
+
+
+def _check_plain_fingerprint(layt, lay):
+    """Trace-time shape consistency between a traced plain-layout bundle
+    and the apply-time OwnedPlainLayout (see _check_layout_fingerprint)."""
+    def _fail(what, got, want):
+        raise ValueError(
+            "plain layout operand bundle does not match the apply-time "
+            f"owned-plain layout ({what}: bundle has {got}, layout wants "
+            f"{want}) — rebuild with "
+            "models.hetero_gnn.build_layout_operands(cfg, meta)")
+    if len(layt["local_perm"]) != len(lay.local_perm):
+        _fail("n_cuts", len(layt["local_perm"]), len(lay.local_perm))
+    for k in range(len(lay.local_perm)):
+        if layt["local_perm"][k].shape[0] != len(lay.local_perm[k]):
+            _fail(f"local_perm[{k}] len", layt["local_perm"][k].shape[0],
+                  len(lay.local_perm[k]))
+    for name, want in (("src", np.asarray(lay.src).shape),
+                       ("dst", np.asarray(lay.dst).shape),
+                       ("desc", np.asarray(_nonempty_desc(lay.desc)).shape),
+                       ("desc_offsets", np.asarray(lay.desc_offsets).shape)):
+        if tuple(layt[name].shape) != tuple(want):
+            _fail(f"{name} shape", tuple(layt[name].shape), tuple(want))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def fused_gat_layer_plain_gathered_t(xs_all, att, a_dst_all, layt, lay, aux,
+                                     negative_slope, temperature,
+                                     interpret=False, mode="softmax",
+                                     rel_fold=0):
+    """fused_gat_layer_plain_gathered with the layout bundle as a TRACED
+    operand (`layt` = device-put plain_layout_operand_arrays(lay, aux)).
+    Math identical; `lay` keeps only the static facts (cut_bases, per-cut
+    perm lengths). The KGWAS_SPLIT_SEGSUM / KGWAS_DUS_ASSEMBLE opt-in
+    experiments are not mirrored here (the default concat backward is)."""
+    _check_plain_fingerprint(layt, lay)
+    msgs = jnp.take(xs_all, layt["src"], axis=0)
+    out, _, _ = _merged_forward_chunked(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[1]),
+        layt["dst"], layt["desc_offsets"], layt["desc"], layt["desc_base"],
+        jnp.asarray(aux[2]), aux[1], negative_slope, temperature, interpret,
+        pre_padded=True, mode=mode, dyn128=DYN128,
+    )
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
+
+
+def _fglpgt_fwd(xs_all, att, a_dst_all, layt, lay, aux, negative_slope,
+                temperature, interpret, mode, rel_fold):
+    _check_plain_fingerprint(layt, lay)
+    msgs = jnp.take(xs_all, layt["src"], axis=0)
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, aux[1])
+    out, row_max, row_sum = _merged_forward_chunked(
+        msgs, att8, adst_tiles, layt["dst"], layt["desc_offsets"],
+        layt["desc"], layt["desc_base"], jnp.asarray(aux[2]), aux[1],
+        negative_slope, temperature, interpret, pre_padded=True, mode=mode,
+        dyn128=DYN128,
+    )
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, layt,
+                 att.shape[0])
+
+
+def _fglpgt_bwd(lay, aux, negative_slope, temperature, interpret, mode,
+                rel_fold, residuals, g):
+    from .pallas_segment import padded_stream_len, segment_sum_windows
+
+    msgs, att8, adst_tiles, row_max, row_sum, out, layt, n_rel = residuals
+    n_src_total, n_rows, tile2rel_np = aux
+    split_bases = tuple(int(b) for b in lay.cut_bases)
+    bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
+        msgs, att8, adst_tiles, layt["dst"], layt["desc_offsets"],
+        layt["desc"], layt["desc_base"], jnp.asarray(tile2rel_np), row_max,
+        row_sum, out, g, n_rows, negative_slope, temperature, split_bases,
+        interpret, mode=mode, dyn128=DYN128,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
+    )
+    perm_lens = tuple(len(pm) for pm in lay.local_perm)
+    if any(perm_lens):
+        parts = [
+            jnp.take(bufs[k], layt["local_perm"][k], axis=0)
+            for k in range(len(bufs)) if perm_lens[k]
+        ]
+        e = sum(perm_lens)
+        parts.append(jnp.zeros((padded_stream_len(e) - e, parts[0].shape[1]),
+                               parts[0].dtype))
+        gc = jnp.concatenate(parts, axis=0)
+        dx = segment_sum_windows(
+            gc, layt["sum_ids_pad"], layt["sum_desc"],
+            layt["sum_desc_offsets"], n_src_total, interpret,
+            pre_padded=True,
+        )
+    else:
+        dx = jnp.zeros((n_src_total, msgs.shape[1]), dtype=jnp.float32)
+
+    d_a_dst, d_att = _tile_grads_to_rel(
+        dadst_tiles, datt_tiles, tile2rel_np, n_rel, n_rows
+    )
+    return dx, d_att, d_a_dst, None
+
+
+fused_gat_layer_plain_gathered_t.defvjp(_fglpgt_fwd, _fglpgt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Traced-layout variant of the RAW path (gather_rows_csc + fused_gat_layer
+# in one custom-VJP op, layout arrays as operands). The fallback kind for
+# groups the chunked path rejects (fragment-padding amplification,
+# CHUNK_READ_AMP_MAX) and the owned-plain path rejects (segsum
+# sum_read_amp): at 2M SNPs that is the SNP/BP/CC/MF dst groups, whose
+# plain layouts as literals alone exceed the relay's program ceiling.
+# Path-choice neutral: identical math and kernels to the literal raw path.
+# ---------------------------------------------------------------------------
+
+
+def raw_layout_operand_arrays(L):
+    """Numpy bundle of the raw path's layout arrays for one merged dst
+    group (device_put once via the graph arrays pytree)."""
+    from .pallas_segment import pad_stream_ids_np, padded_stream_len
+
+    perm = np.asarray(L.csc_perm)
+    perm_p = np.zeros(padded_stream_len(len(perm)), np.int32)
+    perm_p[: len(perm)] = perm
+    return {
+        "src": np.asarray(L.src, np.int32),
+        "dst": np.asarray(L.dst, np.int32),
+        "tile_starts": np.asarray(_tile_starts_np(L.row_offsets), np.int32),
+        "tile2rel": np.asarray(L.tile2rel, np.int32),
+        "csc_perm_pad": perm_p,
+        "csc_ids_pad": np.asarray(
+            pad_stream_ids_np(L.csc_ids, L.n_src_total), np.int32),
+        "csc_offsets": np.asarray(L.csc_offsets, np.int32),
+    }
+
+
+def _check_raw_fingerprint(layr, L):
+    """Trace-time shape consistency between a traced raw bundle and the
+    apply-time merged layout (see _check_layout_fingerprint)."""
+    def _fail(what, got, want):
+        raise ValueError(
+            "raw layout operand bundle does not match the apply-time merged "
+            f"layout ({what}: bundle has {got}, layout wants {want}) — "
+            "rebuild with models.hetero_gnn.build_layout_operands(cfg, meta)")
+    for name, want in (("src", np.asarray(L.src).shape),
+                       ("dst", np.asarray(L.dst).shape),
+                       ("tile2rel", np.asarray(L.tile2rel).shape)):
+        if tuple(layr[name].shape) != tuple(want):
+            _fail(f"{name} shape", tuple(layr[name].shape), tuple(want))
+    # _tile_starts_np: row_offsets[::BN] (n_tiles+1 entries) + the final
+    # offset appended again
+    n_tiles = L.n_rows_total // BN
+    if layr["tile_starts"].shape[0] != n_tiles + 2:
+        _fail("tile_starts len", layr["tile_starts"].shape[0], n_tiles + 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_gat_layer_raw_gathered_t(xs_all, att, a_dst_all, layr, L, aux,
+                                   negative_slope, temperature,
+                                   interpret=False, rel_fold=0):
+    """gather_rows_csc + fused_gat_layer as ONE custom-VJP op with the
+    layout bundle as a TRACED operand (`layr` = device-put
+    raw_layout_operand_arrays(L)). Softmax mode only (the unnorm modes
+    keep the literal path). aux: (n_src_total, n_rows)."""
+    _check_raw_fingerprint(layr, L)
+    msgs = jnp.take(xs_all, layr["src"], axis=0)
+    out, _, _ = _merged_forward(
+        msgs, _prep_att8(att), _prep_adst_tiles(a_dst_all, aux[1]),
+        layr["dst"], layr["tile_starts"], layr["tile2rel"], aux[1],
+        negative_slope, temperature, interpret,
+    )
+    return _rel_fold_out(out, rel_fold) if rel_fold else out
+
+
+def _fglrgt_fwd(xs_all, att, a_dst_all, layr, L, aux, negative_slope,
+                temperature, interpret, rel_fold):
+    _check_raw_fingerprint(layr, L)
+    msgs = jnp.take(xs_all, layr["src"], axis=0)
+    att8 = _prep_att8(att)
+    adst_tiles = _prep_adst_tiles(a_dst_all, aux[1])
+    out, row_max, row_sum = _merged_forward(
+        msgs, att8, adst_tiles, layr["dst"], layr["tile_starts"],
+        layr["tile2rel"], aux[1], negative_slope, temperature, interpret,
+    )
+    ret = _rel_fold_out(out, rel_fold) if rel_fold else out
+    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, layr,
+                 att.shape[0])
+
+
+def _fglrgt_bwd(L, aux, negative_slope, temperature, interpret, rel_fold,
+                residuals, g):
+    from .pallas_segment import pallas_segment_sum
+
+    msgs, att8, adst_tiles, row_max, row_sum, out, layr, n_rel = residuals
+    n_src_total, n_rows = aux
+    dmsgs, dadst_tiles, datt_tiles = _merged_backward(
+        msgs, att8, adst_tiles, layr["dst"], layr["tile_starts"],
+        layr["tile2rel"], row_max, row_sum, out, g, n_rows, negative_slope,
+        temperature, interpret,
+        fold_tiles=_rel_fold_tiles(n_rows, rel_fold) if rel_fold else 0,
+    )
+    # scatter the edge cotangent to the src table: padded CSC take emits
+    # the kernel stream directly (pad rows reread dmsgs[0]; sentinel ids
+    # mask them — same trick as pallas_segment._grc_bwd)
+    g_sorted = jnp.take(dmsgs, layr["csc_perm_pad"], axis=0)
+    dx = pallas_segment_sum(
+        g_sorted, layr["csc_ids_pad"], layr["csc_offsets"], n_src_total,
+        interpret, pre_padded=True,
+    )
+    # traced tile2rel: iota-compare form (see _fglt_bwd)
+    d_a_dst = dadst_tiles[::8].reshape(n_rows)
+    n_tiles = n_rows // BN
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_rel, n_tiles), 0)
+        == layr["tile2rel"][None, :]
+    ).astype(jnp.float32)
+    d_att = onehot @ datt_tiles[::8]
+    return dx, d_att, d_a_dst, None
+
+
+fused_gat_layer_raw_gathered_t.defvjp(_fglrgt_fwd, _fglrgt_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_gat_layer_t(msgs, att, a_dst_all, dst, tile_starts, tile2rel,
                       n_rows, negative_slope, temperature, interpret=False):

@@ -46,10 +46,13 @@ EXP_CLAMP = 60.0  # clamp exp args: out-of-tile/empty-row lanes would overflow
 import os as _os
 
 LANE = 128
-# dst rows per program. 256 measured best on v5e (benchmarks/RESULTS.md);
-# KGWAS_PALLAS_BN=128 halves the one-hot VPU work per tile for experiments.
-# Read once at import — layouts (graph/merged_layout.py) key off it.
-BN = int(_os.environ.get("KGWAS_PALLAS_BN", "256"))
+# dst rows per program. 512 is the shipped default: +6.6% step time over 256
+# at bench scale (75.49+-0.13 vs 80.45+-0.50 ms/step, 3-run interleaved A/B,
+# benchmarks/RESULTS.md round 4) and parity-gated on chip vs the XLA oracle
+# (scripts/exp_bn_parity_tpu.py). KGWAS_PALLAS_BN=256 restores the old tile;
+# 128 halves the one-hot VPU work per tile for experiments (fenced — see
+# _check_bn_supported). Read once at import — layouts key off it.
+BN = int(_os.environ.get("KGWAS_PALLAS_BN", "512"))
 # BN > 256 requires every per-relation row block (and src block) to be a
 # BN multiple — pass node_pad_multiple=BN to compile_graph (layouts assert)
 assert BN % LANE == 0 and BN in (128, 256, 512), BN

@@ -20,6 +20,10 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+_NODE_PAD = max(256, _TILE_BN)  # follow the shipped tile default (BN=512)
+
 from kgwas_tpu.engine.loop import build_optimizer, make_train_step
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
 from kgwas_tpu.models import init_hetero_gnn
@@ -46,7 +50,7 @@ def main():
     g = make_synthetic_kg(n_snp=n_snp, n_gene=n_snp // 10, n_go=n_snp // 20,
                           snp_dim=20, gene_dim=128, go_dim=128,
                           avg_degree=6, seed=0)
-    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     arrays = jax.device_put(cg.arrays())
     rng = np.random.default_rng(0)

@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+_NODE_PAD = max(256, _TILE_BN)  # follow the shipped tile default (BN=512)
+
 from kgwas_tpu.engine.loop import build_optimizer, make_train_step
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
 from kgwas_tpu.models import init_hetero_gnn
@@ -34,7 +38,7 @@ def main():
     g = make_synthetic_kg(n_snp=200_000, n_gene=20_000, n_go=12_000,
                           snp_dim=20, gene_dim=128, go_dim=128,
                           avg_degree=6, seed=0)
-    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=_NODE_PAD)
     for tag, extra in [
         ("chunked-padded", {}),
         ("chunked-rmw", {"pad_fragments": False}),

@@ -5,6 +5,10 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+_NODE_PAD = max(256, _TILE_BN)  # follow the shipped tile default (BN=512)
+
 from kgwas_tpu.graph.merged_layout import (get_chunked_stream,
                                            get_owned_plain_stream,
                                            EMITTER_FAST_ROWS)
@@ -15,7 +19,7 @@ from kgwas_tpu.ops.pallas_gat_layer import (
 n_snp = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 g = make_synthetic_kg(n_snp=n_snp, n_gene=n_snp // 10, n_go=max(n_snp // 17, 100),
                       snp_dim=20, gene_dim=128, go_dim=128, avg_degree=6, seed=0)
-cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=_NODE_PAD)
 interp = jax.default_backend() != "tpu"
 rng = np.random.default_rng(0)
 

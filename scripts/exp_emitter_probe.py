@@ -66,7 +66,10 @@ def grad_parity_real_rows():
     g = make_synthetic_kg(n_snp=50_000, n_gene=8_000, n_go=4_000,
                           snp_dim=20, gene_dim=128, go_dim=128,
                           avg_degree=6, seed=0)
-    cg = compile_graph(g, edge_pad_multiple=8192, node_pad_multiple=256)
+    from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+    cg = compile_graph(g, edge_pad_multiple=8192,
+                       node_pad_multiple=max(256, _TILE_BN))
     cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
                       matmul_precision="highest", use_pallas=True)
     meta = cg.meta()

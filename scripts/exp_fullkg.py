@@ -72,7 +72,9 @@ def main():
     stream_dtype = os.environ.get("FULLKG_STREAM_DTYPE") or None
     remat = os.environ.get("FULLKG_REMAT", "0") == "1"
     steps = int(os.environ.get("FULLKG_STEPS", 8))
-    node_pad = int(os.environ.get("BENCH_NODE_PAD", 256))
+    from kgwas_tpu.ops.pallas_segment import BN
+
+    node_pad = int(os.environ.get("BENCH_NODE_PAD", max(256, BN)))
 
     print(f"[fullkg] backend={jax.default_backend()} n_snp={n_snp} "
           f"deg={avg_degree} hidden={hidden} stream_dtype={stream_dtype} "
@@ -148,15 +150,14 @@ def main():
         t0 = time.time()
         arrays_np["merged_ops"] = build_layout_operands(cfg, cg.meta())
         lo_bytes = 0
-        for dst_t, lay in arrays_np["merged_ops"].items():
-            gt = 0
-            for k, v in lay.items():
-                b = sum(np.asarray(x).nbytes for x in
-                        (v if isinstance(v, tuple) else (v,)))
-                gt += b
-                print(f"[fullkg]   merged_ops[{dst_t}].{k:14s} {human(b)}",
-                      flush=True)
-            lo_bytes += gt
+        for dst_t, tagged in arrays_np["merged_ops"].items():
+            for kind, lay in tagged.items():
+                for k, v in lay.items():
+                    b = sum(np.asarray(x).nbytes for x in
+                            (v if isinstance(v, tuple) else (v,)))
+                    lo_bytes += b
+                    print(f"[fullkg]   merged_ops[{dst_t}].{kind}."
+                          f"{k:14s} {human(b)}", flush=True)
         print(f"[fullkg] layout operands: {human(lo_bytes)} moved out of "
               f"the HLO ({time.time()-t0:.0f}s host)", flush=True)
     meta = cg.meta()

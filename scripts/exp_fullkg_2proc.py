@@ -39,7 +39,8 @@ def main():
     env.setdefault("MH_LOCAL_DEVICES", "1")
     env.setdefault("MH_HIDDEN", "128")
     env.setdefault("MH_STEPS", "3")
-    env.setdefault("MH_NODE_PAD", "256")
+    # node pad must be a multiple of the kernel tile BN (512 default);
+    # leave unset to let the worker derive it from KGWAS_PALLAS_BN
     port = free_port()
     t0 = time.time()
     procs = [

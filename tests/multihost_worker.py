@@ -83,9 +83,12 @@ def main():
             n_snp=n_snp, n_gene=n_snp // 10, n_go=max(n_snp // 17, 100),
             snp_dim=snp_dim, gene_dim=gene_dim, go_dim=go_dim,
             avg_degree=6, seed=0)
+        from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
         cg = compile_graph(g, edge_pad_multiple=8192,
                            node_pad_multiple=int(
-                               os.environ.get("MH_NODE_PAD", "256")))
+                               os.environ.get("MH_NODE_PAD",
+                                              max(256, _TILE_BN))))
     hidden = int(os.environ.get("MH_HIDDEN", "16"))
     cfg = ModelConfig(gnn_hidden_dim=hidden, no_relu=True,
                       stream_dtype=os.environ.get("MH_STREAM_DTYPE") or None,

@@ -27,10 +27,11 @@ from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 from kgwas_tpu.ops.pallas_segment import BN
 from kgwas_tpu.ops.pallas_gat_layer import DYN128
 
-assert BN == 512, BN
-assert DYN128, "dyn128 must stay active at BN=512 (BN >= 2*HALF)"
+assert BN == int(os.environ["BN_VARIANT"]), BN
+assert DYN128, "dyn128 must stay active (BN >= 2*HALF)"
 g = make_synthetic_kg(n_snp=3000, n_gene=600, n_go=250, seed=5)
-cg = compile_graph(g, edge_pad_multiple=512, node_pad_multiple=512)
+cg = compile_graph(g, edge_pad_multiple=512,
+                   node_pad_multiple=max(256, BN))
 meta = cg.meta()
 arrays = cg.arrays()
 outs = {}
@@ -51,16 +52,31 @@ d = jax.tree_util.tree_map(
 mx = max(jax.tree_util.tree_leaves(d))
 assert abs(outs[True][0] - outs[False][0]) < 1e-5, outs
 assert mx < 1e-4, mx
-print("BN512_PARITY_OK")
+print("BN_PARITY_OK")
 """
 
 
-def test_bn512_merged_parity_vs_xla():
-    env = dict(os.environ, KGWAS_PALLAS_BN="512", JAX_PLATFORMS="cpu")
+def _run_variant_child(bn):
+    env = dict(os.environ, KGWAS_PALLAS_BN=str(bn), BN_VARIANT=str(bn),
+               JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable, "-c", _CHILD], env=env,
-                       capture_output=True, text=True, timeout=900)
-    assert r.returncode == 0, r.stdout + r.stderr
-    assert "BN512_PARITY_OK" in r.stdout
+                       capture_output=True, text=True, timeout=600,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0 and "BN_PARITY_OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_bn256_merged_parity_vs_xla():
+    """BN=256 (the pre-round-5 default, still env-selectable) keeps full
+    merged-path parity vs the XLA oracle."""
+    _run_variant_child(256)
+
+
+def test_bn512_merged_parity_vs_xla():
+    """BN=512 — the shipped default tile — full merged-path parity vs the
+    XLA oracle (subprocess: BN pins at import)."""
+    _run_variant_child(512)
 
 
 def test_bn128_hard_error_at_scale(monkeypatch):

@@ -13,6 +13,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
 from kgwas_tpu.graph.merged_layout import get_chunked_stream
 from kgwas_tpu.models import init_hetero_gnn
@@ -23,7 +28,7 @@ from kgwas_tpu.ops.pallas_segment import BE
 @pytest.fixture(scope="module")
 def world():
     g = make_synthetic_kg(n_snp=900, n_gene=300, n_go=120, seed=11)
-    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=_NODE_PAD)
     return g, cg
 
 
@@ -49,15 +54,15 @@ def test_layout_invariants(world):
             assert cs.src_bounds[c + 1] <= L.src_base[r + 1]
         # every edge covered EXACTLY ONCE by its own tile's windows
         cover = np.zeros(len(cs.src), dtype=int)
-        tile_of = cs.dst // 256
-        for t in range(L.n_rows_total // 256):
+        tile_of = cs.dst // _TILE_BN
+        for t in range(L.n_rows_total // _TILE_BN):
             for k in range(cs.desc_offsets[t], cs.desc_offsets[t + 1]):
                 s0 = cs.desc[k]
                 sl = slice(s0, min(s0 + BE, len(cs.src)))
                 cover[sl] += tile_of[sl] == t
         assert (cover == 1).all(), dst_t
         # windows of one tile never overlap and are LANE-aligned
-        for t in range(L.n_rows_total // 256):
+        for t in range(L.n_rows_total // _TILE_BN):
             ws = cs.desc[cs.desc_offsets[t]:cs.desc_offsets[t + 1]]
             assert (np.diff(ws) >= BE).all()
             assert (ws % 128 == 0).all()
@@ -114,12 +119,12 @@ def test_padded_layout_invariants(world):
         assert np.array_equal(pairs[o1], ref[o2]), dst_t
         # windows: BE-aligned, fully owned, tile the whole padded stream
         seen = np.zeros(ep, dtype=int)
-        for t in range(L.n_rows_total // 256):
+        for t in range(L.n_rows_total // _TILE_BN):
             for k in range(cs.desc_offsets[t], cs.desc_offsets[t + 1]):
                 s0 = int(cs.desc[k])
                 assert s0 % BE == 0
                 d = cs.dst[s0:s0 + BE]
-                assert ((d // 256 == t) | (d == L.n_rows_total)).all(), dst_t
+                assert ((d // _TILE_BN == t) | (d == L.n_rows_total)).all(), dst_t
                 seen[s0:s0 + BE] += 1
         assert (seen == 1).all(), dst_t
         # per-chunk perms: block-diagonal, real edges only, CSC-ordered
@@ -289,12 +294,12 @@ def test_owned_plain_gathered_matches_plain(world):
         assert (np.diff(lay.cut_bases) <= 2048).all()
         assert (lay.cut_bases % BE == 0).all()
         seen = np.zeros(len(lay.src), dtype=int)
-        for t in range(L.n_rows_total // 256):
+        for t in range(L.n_rows_total // _TILE_BN):
             for k in range(lay.desc_offsets[t], lay.desc_offsets[t + 1]):
                 s0 = int(lay.desc[k])
                 assert s0 % BE == 0
                 d = lay.dst[s0:s0 + BE]
-                assert ((d // 256 == t) | (d == L.n_rows_total)).all()
+                assert ((d // _TILE_BN == t) | (d == L.n_rows_total)).all()
                 seen[s0:s0 + BE] += 1
         assert (seen == 1).all(), dst_t
 
@@ -338,3 +343,108 @@ def test_chunk_gate_small_graph_stays_unchunked(world):
         # gate in models/hetero_gnn.py:
         # n_src_total > min(EMITTER_FAST_ROWS, 2 * chunk_rows)
         assert L.n_src_total <= EMITTER_FAST_ROWS
+
+
+def test_owned_plain_gathered_t_matches_untyped(world):
+    """fused_gat_layer_plain_gathered_t (layout bundle as TRACED operand)
+    must match fused_gat_layer_plain_gathered EXACTLY on forward and all
+    grads — only the outer HLO (parameter vs literal) may differ. Also:
+    a bundle built from a different layout raises at trace time."""
+    import pytest
+
+    from kgwas_tpu.graph.merged_layout import build_owned_plain_stream
+    from kgwas_tpu.ops.pallas_gat_layer import (
+        fused_gat_layer_plain_gathered, fused_gat_layer_plain_gathered_t,
+        plain_layout_operand_arrays)
+
+    _, cg = world
+    rng = np.random.default_rng(9)
+    layouts = cg.merged_layouts()
+    for dst_t, L in layouts.items():
+        lay = build_owned_plain_stream(L, split_edges=2048)
+        aux = (L.n_src_total, L.n_rows_total, L.tile2rel)
+        layt = jax.tree_util.tree_map(jnp.asarray,
+                                      plain_layout_operand_arrays(lay, aux))
+        R = len(L.rel_keys)
+        xs = jnp.asarray(rng.standard_normal((L.n_src_total, 128)),
+                         jnp.float32)
+        att = jnp.asarray(rng.standard_normal((R, 128)), jnp.float32)
+        adst = jnp.asarray(rng.standard_normal(L.n_rows_total), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((L.n_rows_total, 128)),
+                        jnp.float32)
+
+        def f_ref(xs, att, adst):
+            out = fused_gat_layer_plain_gathered(
+                xs, att, adst, lay, aux, 0.2, 1.0, True)
+            return jnp.sum(out * w)
+
+        def f_t(xs, att, adst):
+            out = fused_gat_layer_plain_gathered_t(
+                xs, att, adst, layt, lay, aux, 0.2, 1.0, True)
+            return jnp.sum(out * w)
+
+        v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(xs, att, adst)
+        v_t, g_t = jax.value_and_grad(f_t, argnums=(0, 1, 2))(xs, att, adst)
+        assert float(v_t) == float(v_r)
+        for a, b in zip(g_t, g_r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fingerprint: a bundle from a DIFFERENT split layout must raise
+    dst_t, L = next(iter(layouts.items()))
+    lay = build_owned_plain_stream(L, split_edges=2048)
+    other = build_owned_plain_stream(L, split_edges=4096)
+    aux = (L.n_src_total, L.n_rows_total, L.tile2rel)
+    stale = jax.tree_util.tree_map(
+        jnp.asarray, plain_layout_operand_arrays(other, aux))
+    if len(stale["local_perm"]) != len(lay.local_perm):
+        xs = jnp.zeros((L.n_src_total, 128), jnp.float32)
+        att = jnp.zeros((len(L.rel_keys), 128), jnp.float32)
+        adst = jnp.zeros(L.n_rows_total, jnp.float32)
+        with pytest.raises(ValueError, match="plain layout operand"):
+            fused_gat_layer_plain_gathered_t(
+                xs, att, adst, stale, lay, aux, 0.2, 1.0, True)
+
+
+def test_raw_gathered_t_matches_literal(world):
+    """fused_gat_layer_raw_gathered_t (layout bundle as TRACED operand)
+    must match gather_rows_csc + fused_gat_layer EXACTLY on forward and
+    all grads, with and without rel_fold."""
+    from kgwas_tpu.ops.pallas_gat_layer import (
+        fused_gat_layer, fused_gat_layer_raw_gathered_t,
+        raw_layout_operand_arrays)
+    from kgwas_tpu.ops.pallas_segment import gather_rows_csc
+
+    _, cg = world
+    rng = np.random.default_rng(17)
+    for dst_t, L in cg.merged_layouts().items():
+        layr = jax.tree_util.tree_map(jnp.asarray,
+                                      raw_layout_operand_arrays(L))
+        R = len(L.rel_keys)
+        fold = R if L.n_rows_total % R == 0 else 0
+        xs = jnp.asarray(rng.standard_normal((L.n_src_total, 128)),
+                         jnp.float32)
+        att = jnp.asarray(rng.standard_normal((R, 128)), jnp.float32)
+        adst = jnp.asarray(rng.standard_normal(L.n_rows_total), jnp.float32)
+        out_rows = L.n_rows_total // fold if fold else L.n_rows_total
+        w = jnp.asarray(rng.standard_normal((out_rows, 128)), jnp.float32)
+
+        def f_ref(xs, att, adst):
+            msgs = gather_rows_csc(xs, jnp.asarray(L.src), L.csc_perm,
+                                   L.csc_ids, L.csc_offsets, L.n_src_total,
+                                   True)
+            out = fused_gat_layer(msgs, att, adst, L.dst, L.row_offsets,
+                                  L.tile2rel, L.n_rows_total, 0.2, 1.0,
+                                  True, fold)
+            return jnp.sum(out * w)
+
+        def f_t(xs, att, adst):
+            out = fused_gat_layer_raw_gathered_t(
+                xs, att, adst, layr, L, (L.n_src_total, L.n_rows_total),
+                0.2, 1.0, True, fold)
+            return jnp.sum(out * w)
+
+        v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(xs, att, adst)
+        v_t, g_t = jax.value_and_grad(f_t, argnums=(0, 1, 2))(xs, att, adst)
+        assert float(v_t) == float(v_r), dst_t
+        for a, b in zip(g_t, g_r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -13,6 +13,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
 from kgwas_tpu.graph.merged_layout import build_csc_windows
 from kgwas_tpu.models import init_hetero_gnn
@@ -24,7 +29,7 @@ from kgwas_tpu.ops.pallas_segment import (BE, gather_rows_csc_win,
 @pytest.fixture(scope="module")
 def world():
     g = make_synthetic_kg(n_snp=900, n_gene=300, n_go=120, seed=7)
-    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=_NODE_PAD)
     return g, cg
 
 
@@ -49,8 +54,8 @@ def test_layout_invariants(world):
             kind="stable")])
         # every grouped position covered EXACTLY ONCE by its own tile
         cover = np.zeros(e, dtype=int)
-        tile_of = wl.ids // 256
-        n_src_tiles = -(-L.n_src_total // 256)
+        tile_of = wl.ids // _TILE_BN
+        n_src_tiles = -(-L.n_src_total // _TILE_BN)
         for t in range(n_src_tiles):
             for k in range(wl.desc_offsets[t], wl.desc_offsets[t + 1]):
                 s0 = wl.desc[k]

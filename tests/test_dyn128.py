@@ -15,6 +15,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.graph.merged_layout import (get_chunked_stream,
                                            get_owned_plain_stream)
 from kgwas_tpu.ops.pallas_gat_layer import (
@@ -34,7 +39,7 @@ from kgwas_tpu.ops.pallas_gat_layer import (
 @pytest.fixture(scope="module")
 def world():
     g = make_synthetic_kg(n_snp=900, n_gene=300, n_go=120, seed=23)
-    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=256, node_pad_multiple=_NODE_PAD)
     return g, cg
 
 

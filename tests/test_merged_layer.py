@@ -6,6 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.graph.merged_layout import build_merged_layouts
 from kgwas_tpu.ops.pallas_gat_layer import fused_gat_layer
 from kgwas_tpu.ops.segment import (
@@ -24,7 +29,7 @@ TEMP = 1.0
 @pytest.fixture(scope="module")
 def world():
     g = make_synthetic_kg(n_snp=120, n_gene=50, n_go=20, seed=31)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     layouts = build_merged_layouts(cg)
     rng = np.random.default_rng(7)
     # per-relation params: W_src (identity-free random), att_src, att_dst
@@ -150,7 +155,7 @@ def test_full_model_merged_matches_xla():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=41)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2)
     cfg_m = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
@@ -189,7 +194,7 @@ def test_rel_fold_identical_to_unfolded(aggr):
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=47)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, gnn_aggr=aggr,
               use_pallas=True, pallas_mode="merged")
@@ -224,7 +229,7 @@ def test_rel_fold_sigmoid_mode_matches_xla():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=49)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, sigmoid_gat=True)
     cfg_x = ModelConfig(**kw)
@@ -265,7 +270,7 @@ def test_layout_operands_identical_and_shrinks_hlo():
 
     # gather_chunk_rows=256 forces the chunked/gathered path at test size
     g = make_synthetic_kg(n_snp=600, n_gene=200, n_go=60, seed=53)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
               pallas_mode="merged", gather_chunk_rows=256)
@@ -321,7 +326,7 @@ def test_layout_operands_fingerprint_mismatch_raises():
                                              build_layout_operands)
 
     g = make_synthetic_kg(n_snp=600, n_gene=200, n_go=60, seed=53)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
               pallas_mode="merged", layout_operands=True)
@@ -344,7 +349,7 @@ def test_full_model_merged_multihead_matches_xla():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=90, n_gene=35, n_go=14, seed=43)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2)
     cfg_m = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, gat_num_head=2,
@@ -391,7 +396,7 @@ def test_merged_bf16_close_to_f32():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=51)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     cfg32 = ModelConfig(gnn_hidden_dim=128, use_pallas=True)
     cfg16 = ModelConfig(gnn_hidden_dim=128, use_pallas=True,

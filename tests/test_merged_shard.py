@@ -6,6 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.graph.merged_layout import build_merged_layouts
 from kgwas_tpu.ops.pallas_gat_layer import fused_gat_layer
 from kgwas_tpu.parallel.merged_shard import (
@@ -29,7 +34,7 @@ def world():
     # sizes chosen so SNP (2 rels x 4 tiles) and Gene (6 rels x 4
     # tiles) merged row spaces split evenly across 8 devices
     g = make_synthetic_kg(n_snp=1000, n_gene=800, n_go=60, seed=61)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     layouts = build_merged_layouts(cg)
     rng = np.random.default_rng(3)
     return cg, layouts, rng
@@ -39,7 +44,7 @@ def world():
 def test_sharded_merged_matches_single(world, dst_t):
     cg, layouts, rng = world
     L = layouts[dst_t]
-    n_tiles = L.n_rows_total // 256
+    n_tiles = L.n_rows_total // _TILE_BN
     if n_tiles % N_DEV != 0:
         pytest.skip(f"{dst_t}: {n_tiles} tiles not divisible by {N_DEV}")
     DL = build_device_layouts(L, N_DEV)
@@ -103,9 +108,12 @@ def test_full_model_sharded_pallas_train_matches_single():
     )
 
     # sizes picked so every merged dst layout has tiles divisible by 8:
-    # SNP 2 rels x 4 tiles, Gene 6 x 4, BP 2 x 8, CC/MF 1 x 8
-    g = make_synthetic_kg(n_snp=1000, n_gene=800, n_go=1800, seed=71)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    # SNP 2 rels x 4 tiles, Gene 6 x 4, BP 2 x 8, CC/MF 1 x 8 — scaled
+    # with the tile so counts are BN-invariant
+    _s = _TILE_BN // 256
+    g = make_synthetic_kg(n_snp=1000 * _s, n_gene=800 * _s, n_go=1800 * _s,
+                          seed=71)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True)
     meta = cg.meta()
     mesh = make_mesh(data=N_DEV, model=1, axis_names=("data", "model"))
@@ -179,13 +187,13 @@ def test_sharded_merged_eligibility_gates():
     from kgwas_tpu.parallel.merged_shard import sharded_merged_eligible
 
     g = make_synthetic_kg(n_snp=100, n_gene=60, n_go=20, seed=72)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     # every type pads to 256 -> CC/MF have 1 tile each: not divisible by 8
     mesh = make_mesh(data=N_DEV, model=1, axis_names=("data", "model"))
     assert not sharded_merged_eligible(meta, mesh)
     # model axis active -> ineligible even with divisible layouts
     g2 = make_synthetic_kg(n_snp=1000, n_gene=800, n_go=1800, seed=71)
-    cg2 = compile_graph(g2, edge_pad_multiple=64, node_pad_multiple=256)
+    cg2 = compile_graph(g2, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     mesh2 = make_mesh(data=4, model=2, axis_names=("data", "model"))
     assert not sharded_merged_eligible(cg2.meta(), mesh2)

@@ -6,6 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.config import ModelConfig
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.graph import compile_graph, make_synthetic_kg
 from kgwas_tpu.models import (
     apply_gat,
@@ -310,7 +315,7 @@ def test_stream_dtype_engages_and_stays_close():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=18)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     outs = {}
     for use_pallas in (False, True):
@@ -342,7 +347,7 @@ def test_stream_f32_logits_probe_engages():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=18)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
 
     def run(sd, probe):

@@ -6,6 +6,11 @@ import jax.numpy as jnp
 import pytest
 
 from kgwas_tpu.ops.pallas_segment import BN, fused_segment_softmax_spmm
+from kgwas_tpu.ops.pallas_segment import BN as _TILE_BN
+
+# node row spaces follow the shipped kernel tile (BN=512 default; 256/128 via env)
+_NODE_PAD = max(256, _TILE_BN)
+
 from kgwas_tpu.ops.segment import edge_valid_mask, segment_softmax, segment_sum
 
 
@@ -101,7 +106,7 @@ def test_model_pallas_path_matches_xla_path():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=13)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2)
     cfg_p = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True)
@@ -187,7 +192,7 @@ def test_model_sigmoid_gat_pallas_matches_xla():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=15)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
                         sigmoid_gat=True, temperature=2.0)
@@ -224,7 +229,7 @@ def test_raw_attention_conv_pallas_matches_xla():
     from kgwas_tpu.models.convs import apply_gat, init_gat
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=17)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     rk = "SNP__TSS__Gene"
     r = cg.relations[rk]
     params = init_gat(jax.random.PRNGKey(3), 128, 128, 128, 1)
@@ -262,7 +267,7 @@ def test_model_pallas_mean_aggr_matches_xla_path():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=14)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     cfg_x = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
                         gnn_aggr="mean")
@@ -301,7 +306,7 @@ def test_model_pallas_sigmoid_gat_matches_xla_path():
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=15)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, sigmoid_gat=True,
               temperature=0.7)
@@ -338,7 +343,7 @@ def test_fused_gat_layer_unnorm_raw_mode_dense_oracle():
     from kgwas_tpu.ops.pallas_gat_layer import fused_gat_layer_unnorm
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=16)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     rng = np.random.default_rng(4)
     for dst_t, L in cg.merged_layouts().items():
         E = len(L.src)
@@ -350,7 +355,7 @@ def test_fused_gat_layer_unnorm_raw_mode_dense_oracle():
         w_out = jnp.asarray(rng.standard_normal((L.n_rows_total, 128)),
                             jnp.float32)
         t2r = np.asarray(L.tile2rel)
-        rel_of_row = np.repeat(t2r, 256)[: L.n_rows_total]
+        rel_of_row = np.repeat(t2r, _TILE_BN)[: L.n_rows_total]
 
         def f_ref(msgs, att, adst):
             z = (jnp.sum(msgs * att[rel_of_row[np.asarray(L.dst)]], axis=1)
@@ -389,7 +394,7 @@ def test_model_pallas_mp_backbones_match_xla_path(backbone):
     from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
 
     g = make_synthetic_kg(n_snp=80, n_gene=30, n_go=12, seed=17)
-    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=256)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
     meta = cg.meta()
     kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, gnn_backbone=backbone)
     cfg_x = ModelConfig(**kw)
