@@ -276,9 +276,20 @@ def build_layout_operands(cfg: ModelConfig, meta: dict) -> dict:
         if cs is not None and cs.read_amp > CHUNK_READ_AMP_MAX:
             cs = None
         if cs is not None and cs.fully_owned:
+            from ..ops.pallas_gat_layer import _needs_split_segsum
+
             aux = (L.csc_ids, L.csc_offsets, L.n_src_total, L.n_rows_total,
                    L.tile2rel)
-            out[dst_t] = {"chunked": layout_operand_arrays(cs, aux)}
+            # include the SplitCscGroup arrays when the backward's
+            # concatenated cotangent would cross the per-buffer ceiling
+            # (stream dtype if set, else f32 compute dtype)
+            itemsize = (jnp.dtype(cfg.stream_dtype)
+                        if getattr(cfg, "stream_dtype", None)
+                        else jnp.dtype(cfg.compute_dtype))
+            split = _needs_split_segsum(cs.num_real_edges,
+                                        cfg.gnn_hidden_dim, itemsize)
+            out[dst_t] = {"chunked": layout_operand_arrays(
+                cs, aux, split_group=split)}
             continue
         win_edges = cfg.bwd_window_edges or 0
         if (cs is None and win_edges == 0 and pad_frags and chunk_rows > 0

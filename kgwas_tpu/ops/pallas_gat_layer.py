@@ -2102,15 +2102,51 @@ fused_gat_layer_gathered.defvjp(_fglg_fwd, _fglg_bwd)
 # ---------------------------------------------------------------------------
 
 
-def layout_operand_arrays(cs, aux):
+# Single-buffer ceiling for the backward's concatenated CSC cotangent.
+# The on-chip full-KG ladder (benchmarks/RESULTS.md round 5) passes at
+# 1.5M SNPs (3.43 GB concat) and kills the relay's chipless TpuAotCompiler
+# helper at 2M (4.56 GB) — consistent with a 2^32-byte per-buffer limit.
+# Above this, the gathered backward switches to the split-input windowed
+# segment-sum (SplitCscGroup): per-chunk cotangent buffers stay separate
+# end-to-end, no [E, D] concat ever materializes.
+CONCAT_COTANGENT_MAX_BYTES = 4_000_000_000
+
+
+def _needs_split_segsum(e_real, d, dtype):
+    from .pallas_segment import padded_stream_len
+
+    return (padded_stream_len(int(e_real)) * int(d)
+            * np.dtype(dtype).itemsize) > CONCAT_COTANGENT_MAX_BYTES
+
+
+def layout_operand_arrays(cs, aux, split_group=False):
     """Numpy bundle of the gathered path's layout arrays, to be device_put
     ONCE (ride the graph `arrays` pytree) and passed to
-    fused_gat_layer_gathered_t as a traced argument."""
+    fused_gat_layer_gathered_t as a traced argument. split_group: also
+    include the SplitCscGroup arrays for the no-concat backward (required
+    when the concatenated cotangent would exceed
+    CONCAT_COTANGENT_MAX_BYTES)."""
     from .pallas_segment import pad_stream_ids_np
 
     csc_ids_np, csc_offsets_np, n_src_total, n_rows, tile2rel_np = aux
     dbase = _desc_base_cached(cs, cs.desc, cs.desc_offsets, cs.dst, n_rows)
+    if split_group:
+        from ..graph.merged_layout import get_chunked_split_group
+
+        sg = get_chunked_split_group(cs, csc_ids_np, n_src_total)
+        extra = {
+            "split_local_perm": tuple(np.asarray(pm, np.int32)
+                                      for pm in sg.local_perm),
+            "sum_ids": np.asarray(sg.sum_ids, np.int32),
+            "sum_desc": np.asarray(
+                sg.sum_desc if len(sg.sum_desc) else np.zeros(1, np.int32),
+                np.int32),
+            "sum_desc_offsets": np.asarray(sg.sum_desc_offsets, np.int32),
+        }
+    else:
+        extra = {}
     return {
+        **extra,
         "local_ids": tuple(np.asarray(i, np.int32) for i in cs.local_ids),
         "local_perm": tuple(np.asarray(p, np.int32) for p in cs.local_perm),
         "dst": np.asarray(cs.dst, np.int32),
@@ -2170,9 +2206,11 @@ def fused_gat_layer_gathered_t(tabs, att, a_dst_all, lay, cs, aux,
     """fused_gat_layer_gathered with the layout bundle as a TRACED operand
     (`lay` = device-put layout_operand_arrays(cs, aux)). Math identical;
     `cs` keeps only the static facts the trace needs (chunk lens, padded
-    block boundaries, fully_owned). The KGWAS_SPLIT_SEGSUM /
-    KGWAS_DUS_ASSEMBLE opt-in experiments are not mirrored here (the
-    default concat+plain-segsum backward is)."""
+    block boundaries, fully_owned). Backward: concat+plain-segsum by
+    default; the split-input windowed segment-sum (no concat) is selected
+    AUTOMATICALLY above CONCAT_COTANGENT_MAX_BYTES (the bundle must then
+    carry the SplitCscGroup arrays — build_layout_operands handles it).
+    The KGWAS_DUS_ASSEMBLE opt-in experiment is not mirrored here."""
     _check_layout_fingerprint(lay, cs)
     lens = tuple(len(i) for i in cs.local_ids)
     out, _, _ = _merged_forward_chunked(
@@ -2211,7 +2249,7 @@ def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
 
     (msg_parts, att8, adst_tiles, row_max, row_sum, out, lay, n_rel,
      tab_rows) = residuals
-    _, _, n_src_total, n_rows, _ = aux
+    csc_ids_np, _, n_src_total, n_rows, _ = aux
     split_bases = tuple(int(b) for b in cs.chunk_edge_base)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
         msg_parts, att8, adst_tiles, lay["dst"], lay["desc_offsets"],
@@ -2222,12 +2260,45 @@ def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
     )
     d = msg_parts[0].shape[1]
     perm_lens = tuple(len(p) for p in cs.local_perm)
-    if any(perm_lens):
+    e = sum(perm_lens)
+    if e and _needs_split_segsum(e, d, msg_parts[0].dtype):
+        # no-concat backward: the concatenated cotangent would exceed the
+        # per-buffer ceiling (CONCAT_COTANGENT_MAX_BYTES) — per-chunk
+        # buffers feed the split-input windowed segment-sum directly
+        from .pallas_segment import segment_sum_windows
+        from ..graph.merged_layout import get_chunked_split_group
+
+        if "sum_ids" not in lay:
+            raise ValueError(
+                f"gathered backward needs the split segment-sum at this "
+                f"scale ({e:,} edges x {d} cols exceeds "
+                f"{CONCAT_COTANGENT_MAX_BYTES/1e9:.1f} GB concatenated) "
+                "but the layout bundle lacks the SplitCscGroup arrays — "
+                "rebuild with build_layout_operands (it includes them "
+                "automatically at this scale)")
+        sg = get_chunked_split_group(cs, csc_ids_np, n_src_total)
+        if (len(lay["split_local_perm"]) != len(sg.local_perm)
+                or any(lay["split_local_perm"][c].shape[0]
+                       != len(sg.local_perm[c])
+                       for c in range(len(sg.local_perm)))
+                or lay["sum_ids"].shape[0] != len(sg.sum_ids)):
+            raise ValueError(
+                "split layout operand bundle does not match the apply-time "
+                "SplitCscGroup — rebuild with build_layout_operands")
+        parts = tuple(
+            jnp.take(bufs[c], lay["split_local_perm"][c], axis=0)
+            for c in range(cs.n_chunks)
+        )
+        dx = segment_sum_windows(
+            parts, lay["sum_ids"], lay["sum_desc"],
+            lay["sum_desc_offsets"], n_src_total, interpret,
+            split_bases=sg.sum_bases,
+        )
+    elif e:
         parts = [
             jnp.take(bufs[c], lay["local_perm"][c], axis=0)
             for c in range(cs.n_chunks) if perm_lens[c]
         ]
-        e = sum(perm_lens)
         parts.append(jnp.zeros((padded_stream_len(e) - e, d),
                                parts[0].dtype))
         g_sorted = jnp.concatenate(parts, axis=0)

@@ -410,3 +410,46 @@ def test_merged_bf16_close_to_f32():
     # bf16 has ~3 decimal digits; outputs must agree loosely and be finite
     assert np.all(np.isfinite(out16))
     np.testing.assert_allclose(out16, out32, rtol=0.1, atol=0.05)
+
+
+def test_layout_operands_split_segsum_backward_matches(monkeypatch):
+    """Above CONCAT_COTANGENT_MAX_BYTES the traced gathered backward must
+    switch to the split-input windowed segment-sum (no [E, D] concat) and
+    produce numerically identical gradients. Threshold forced to 1 byte so
+    the split path engages at test scale."""
+    from kgwas_tpu import ops
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import (apply_hetero_gnn,
+                                             build_layout_operands)
+    from kgwas_tpu.ops import pallas_gat_layer as pgl
+
+    g = make_synthetic_kg(n_snp=600, n_gene=200, n_go=60, seed=53)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
+              pallas_mode="merged", gather_chunk_rows=256)
+    cfg_c = ModelConfig(**kw)
+    cfg_t = ModelConfig(layout_operands=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_c, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+
+    def loss(p, cfg, arr):
+        pred = apply_hetero_gnn(p, cfg, meta, arr)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gc = jax.grad(lambda p: loss(p, cfg_c, arrays))(params)
+
+    monkeypatch.setattr(pgl, "CONCAT_COTANGENT_MAX_BYTES", 1)
+    merged_ops = build_layout_operands(cfg_t, meta)
+    assert merged_ops, "test graph must engage the gathered path"
+    ch = [v["chunked"] for v in merged_ops.values() if "chunked" in v]
+    assert ch and all("sum_ids" in b for b in ch), (
+        "split arrays must be included under the forced threshold")
+    arrays_t = {**arrays, "merged_ops": merged_ops}
+    gt = jax.grad(lambda p: loss(p, cfg_t, arrays_t))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gc),
+                    jax.tree_util.tree_leaves(gt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
