@@ -2119,6 +2119,21 @@ def _needs_split_segsum(e_real, d, dtype):
             * np.dtype(dtype).itemsize) > CONCAT_COTANGENT_MAX_BYTES
 
 
+# Residual policy for the traced (_t) gathered ops: above this many bytes
+# of [E, D] message stream, the forward saves the SMALL source tables and
+# the backward recomputes the gather, instead of keeping the stream as a
+# residual. Under per-layer remat every group's residuals coexist — at 2M
+# SNPs the streams alone are ~8.6 GB bf16, which is what pushed the layer
+# backward past the chip. Bench-scale groups (<1 GB) keep the saved-stream
+# form (no recompute cost).
+LOW_RESIDUAL_MIN_BYTES = 1_000_000_000
+
+
+def _low_residual(stream_rows, d, dtype):
+    return (int(stream_rows) * int(d)
+            * np.dtype(dtype).itemsize) > LOW_RESIDUAL_MIN_BYTES
+
+
 def layout_operand_arrays(cs, aux, split_group=False):
     """Numpy bundle of the gathered path's layout arrays, to be device_put
     ONCE (ride the graph `arrays` pytree) and passed to
@@ -2239,8 +2254,10 @@ def _fglgt_fwd(tabs, att, a_dst_all, lay, cs, aux, negative_slope,
         mode=mode, dyn128=DYN128,
     )
     ret = _rel_fold_out(out, rel_fold) if rel_fold else out
-    return ret, (parts, att8, adst_tiles, row_max, row_sum, out, lay,
-                 att.shape[0], tuple(t.shape[0] for t in tabs))
+    low = _low_residual(cs.chunk_edge_base[-1], tabs[0].shape[1],
+                        tabs[0].dtype)
+    return ret, (tabs if low else parts, att8, adst_tiles, row_max, row_sum,
+                 out, lay, att.shape[0], tuple(t.shape[0] for t in tabs))
 
 
 def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
@@ -2249,6 +2266,12 @@ def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
 
     (msg_parts, att8, adst_tiles, row_max, row_sum, out, lay, n_rel,
      tab_rows) = residuals
+    if _low_residual(cs.chunk_edge_base[-1], msg_parts[0].shape[1],
+                     msg_parts[0].dtype):
+        # low-residual form: msg_parts holds the SOURCE TABLES — recompute
+        # the gathered stream here (same takes as the forward)
+        lens = tuple(len(i) for i in cs.local_ids)
+        msg_parts = _take_tab_parts_t(msg_parts, lay, lens)
     csc_ids_np, _, n_src_total, n_rows, _ = aux
     split_bases = tuple(int(b) for b in cs.chunk_edge_base)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
@@ -2548,8 +2571,9 @@ def _fglpgt_fwd(xs_all, att, a_dst_all, layt, lay, aux, negative_slope,
         dyn128=DYN128,
     )
     ret = _rel_fold_out(out, rel_fold) if rel_fold else out
-    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, layt,
-                 att.shape[0])
+    low = _low_residual(layt["src"].shape[0], xs_all.shape[1], xs_all.dtype)
+    return ret, (xs_all if low else msgs, att8, adst_tiles, row_max,
+                 row_sum, out, layt, att.shape[0])
 
 
 def _fglpgt_bwd(lay, aux, negative_slope, temperature, interpret, mode,
@@ -2558,6 +2582,9 @@ def _fglpgt_bwd(lay, aux, negative_slope, temperature, interpret, mode,
 
     msgs, att8, adst_tiles, row_max, row_sum, out, layt, n_rel = residuals
     n_src_total, n_rows, tile2rel_np = aux
+    if _low_residual(layt["src"].shape[0], msgs.shape[1], msgs.dtype):
+        # low-residual form: msgs holds xs_all — recompute the gather
+        msgs = jnp.take(msgs, layt["src"], axis=0)
     split_bases = tuple(int(b) for b in lay.cut_bases)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
         msgs, att8, adst_tiles, layt["dst"], layt["desc_offsets"],
@@ -2673,8 +2700,9 @@ def _fglrgt_fwd(xs_all, att, a_dst_all, layr, L, aux, negative_slope,
         layr["tile2rel"], aux[1], negative_slope, temperature, interpret,
     )
     ret = _rel_fold_out(out, rel_fold) if rel_fold else out
-    return ret, (msgs, att8, adst_tiles, row_max, row_sum, out, layr,
-                 att.shape[0])
+    low = _low_residual(layr["src"].shape[0], xs_all.shape[1], xs_all.dtype)
+    return ret, (xs_all if low else msgs, att8, adst_tiles, row_max,
+                 row_sum, out, layr, att.shape[0])
 
 
 def _fglrgt_bwd(L, aux, negative_slope, temperature, interpret, rel_fold,
@@ -2683,6 +2711,9 @@ def _fglrgt_bwd(L, aux, negative_slope, temperature, interpret, rel_fold,
 
     msgs, att8, adst_tiles, row_max, row_sum, out, layr, n_rel = residuals
     n_src_total, n_rows = aux
+    if _low_residual(layr["src"].shape[0], msgs.shape[1], msgs.dtype):
+        # low-residual form: msgs holds xs_all — recompute the gather
+        msgs = jnp.take(msgs, layr["src"], axis=0)
     dmsgs, dadst_tiles, datt_tiles = _merged_backward(
         msgs, att8, adst_tiles, layr["dst"], layr["tile_starts"],
         layr["tile2rel"], row_max, row_sum, out, g, n_rows, negative_slope,

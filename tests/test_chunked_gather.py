@@ -448,3 +448,67 @@ def test_raw_gathered_t_matches_literal(world):
         assert float(v_t) == float(v_r), dst_t
         for a, b in zip(g_t, g_r):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_raw_and_plain_t_low_residual_matches(world, monkeypatch):
+    """Low-residual form of the raw/plain traced ops (recompute the gather
+    in the backward): exact gradient parity vs the literal ops."""
+    from kgwas_tpu.graph.merged_layout import build_owned_plain_stream
+    from kgwas_tpu.ops import pallas_gat_layer as pgl
+    from kgwas_tpu.ops.pallas_gat_layer import (
+        fused_gat_layer, fused_gat_layer_plain_gathered,
+        fused_gat_layer_plain_gathered_t, fused_gat_layer_raw_gathered_t,
+        plain_layout_operand_arrays, raw_layout_operand_arrays)
+    from kgwas_tpu.ops.pallas_segment import gather_rows_csc
+
+    monkeypatch.setattr(pgl, "LOW_RESIDUAL_MIN_BYTES", 1)
+    _, cg = world
+    rng = np.random.default_rng(21)
+    dst_t, L = next(iter(cg.merged_layouts().items()))
+    R = len(L.rel_keys)
+    xs = jnp.asarray(rng.standard_normal((L.n_src_total, 128)), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((R, 128)), jnp.float32)
+    adst = jnp.asarray(rng.standard_normal(L.n_rows_total), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((L.n_rows_total, 128)), jnp.float32)
+
+    layr = jax.tree_util.tree_map(jnp.asarray, raw_layout_operand_arrays(L))
+
+    def f_ref(xs, att, adst):
+        msgs = gather_rows_csc(xs, jnp.asarray(L.src), L.csc_perm,
+                               L.csc_ids, L.csc_offsets, L.n_src_total, True)
+        out = fused_gat_layer(msgs, att, adst, L.dst, L.row_offsets,
+                              L.tile2rel, L.n_rows_total, 0.2, 1.0, True)
+        return jnp.sum(out * w)
+
+    def f_raw(xs, att, adst):
+        out = fused_gat_layer_raw_gathered_t(
+            xs, att, adst, layr, L, (L.n_src_total, L.n_rows_total),
+            0.2, 1.0, True)
+        return jnp.sum(out * w)
+
+    v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(xs, att, adst)
+    v_t, g_t = jax.value_and_grad(f_raw, argnums=(0, 1, 2))(xs, att, adst)
+    assert float(v_t) == float(v_r)
+    for a, b in zip(g_t, g_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    lay = build_owned_plain_stream(L, split_edges=2048)
+    aux = (L.n_src_total, L.n_rows_total, L.tile2rel)
+    layt = jax.tree_util.tree_map(jnp.asarray,
+                                  plain_layout_operand_arrays(lay, aux))
+
+    def f_pl_ref(xs, att, adst):
+        out = fused_gat_layer_plain_gathered(
+            xs, att, adst, lay, aux, 0.2, 1.0, True)
+        return jnp.sum(out * w)
+
+    def f_pl_t(xs, att, adst):
+        out = fused_gat_layer_plain_gathered_t(
+            xs, att, adst, layt, lay, aux, 0.2, 1.0, True)
+        return jnp.sum(out * w)
+
+    v_r, g_r = jax.value_and_grad(f_pl_ref, argnums=(0, 1, 2))(xs, att, adst)
+    v_t, g_t = jax.value_and_grad(f_pl_t, argnums=(0, 1, 2))(xs, att, adst)
+    assert float(v_t) == float(v_r)
+    for a, b in zip(g_t, g_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

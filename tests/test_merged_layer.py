@@ -453,3 +453,39 @@ def test_layout_operands_split_segsum_backward_matches(monkeypatch):
                     jax.tree_util.tree_leaves(gt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_layout_operands_low_residual_matches(monkeypatch):
+    """With LOW_RESIDUAL_MIN_BYTES forced to 1, the traced ops save source
+    tables and recompute the gather in the backward — gradients must be
+    identical to the literal path (the at-scale residual policy)."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import (apply_hetero_gnn,
+                                             build_layout_operands)
+    from kgwas_tpu.ops import pallas_gat_layer as pgl
+
+    g = make_synthetic_kg(n_snp=600, n_gene=200, n_go=60, seed=53)
+    cg = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
+    meta = cg.meta()
+    kw = dict(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
+              pallas_mode="merged", gather_chunk_rows=256)
+    cfg_c = ModelConfig(**kw)
+    cfg_t = ModelConfig(layout_operands=True, **kw)
+    params = init_hetero_gnn(jax.random.PRNGKey(9), cfg_c, meta, 20, 32, 16)
+    arrays = cg.arrays()
+    n_real = cg.num_nodes["SNP"]
+
+    def loss(p, cfg, arr):
+        pred = apply_hetero_gnn(p, cfg, meta, arr)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    gc = jax.grad(lambda p: loss(p, cfg_c, arrays))(params)
+    monkeypatch.setattr(pgl, "LOW_RESIDUAL_MIN_BYTES", 1)
+    merged_ops = build_layout_operands(cfg_t, meta)
+    arrays_t = {**arrays, "merged_ops": merged_ops}
+    gt = jax.grad(lambda p: loss(p, cfg_t, arrays_t))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gc),
+                    jax.tree_util.tree_leaves(gt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
