@@ -20,6 +20,7 @@ Everything here is static numpy, built once at shard-compile time.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List
 
@@ -52,6 +53,11 @@ class MergedDstLayout:
     csc_offsets: np.ndarray        # int32 [n_src_total + 1]
     # per-relation edge slices in the merged stream
     edge_base: np.ndarray          # int32 [R + 1]
+    # dst-range SUB-layout bookkeeping (split_merged_layout): sub-layouts
+    # cover dst node rows [node_base, node_base + n_rows_per_rel) of
+    # base_type's padded node space; base_type is None for whole groups
+    base_type: "str | None" = None
+    node_base: int = 0
 
 
 @dataclass(eq=False)  # identity compare: instances are passed as static
@@ -782,4 +788,90 @@ def build_merged_layouts(cg: CompiledGraph, tile_rows: int = None
             csc_offsets=csc_offsets.astype(np.int32),
             edge_base=edge_base.astype(np.int32),
         )
+
+    max_edges = int(os.environ.get("KGWAS_MERGED_MAX_EDGES", "0"))
+    if max_edges > 0:
+        layouts = split_oversized_layouts(layouts, max_edges, tile_rows)
     return layouts
+
+
+def split_merged_layout(L: MergedDstLayout, n_parts: int,
+                        tile_rows: int) -> List[MergedDstLayout]:
+    """Split one merged layout into n_parts dst-node-range SUB-layouts.
+
+    Attention softmax is per dst row, so partitioning edges by dst node
+    is exact: sub k covers nodes [k*n_sub, (k+1)*n_sub) of the padded dst
+    space (n_sub a tile multiple), with the SAME concat src space (each
+    sub's backward contributes an additive cotangent to the shared source
+    tables). Bounds the per-group [E, D] stream/cotangent transients —
+    the full-KG fit lever at 2M SNPs where one group's backward buffers
+    alone exceeded the chip (benchmarks/RESULTS.md round 5)."""
+    N = L.n_rows_per_rel
+    R = len(L.rel_keys)
+    n_sub = ((N + n_parts - 1) // n_parts + tile_rows - 1
+             ) // tile_rows * tile_rows
+    bases = list(range(0, N, n_sub))
+    rel_of_edge = L.dst.astype(np.int64) // N
+    node = L.dst.astype(np.int64) - rel_of_edge * N
+    subs = []
+    for k, b in enumerate(bases):
+        hi = min(b + n_sub, N)
+        rows = hi - b
+        assert rows % tile_rows == 0, (rows, tile_rows)
+        mask = (node >= b) & (node < hi)
+        # parent stream is rel-major, dst-ascending per relation, so the
+        # masked stream is already sorted under the remapped row index
+        sub_src = L.src[mask]
+        sub_rel = rel_of_edge[mask]
+        sub_dst = (sub_rel * rows + (node[mask] - b)).astype(np.int64)
+        assert (np.diff(sub_dst) >= 0).all()
+        n_rows_total = R * rows
+        counts = np.bincount(sub_dst, minlength=n_rows_total)
+        row_offsets = np.zeros(n_rows_total + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_offsets[1:])
+        edge_base = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(np.bincount(sub_rel, minlength=R), out=edge_base[1:])
+        csc_perm = np.argsort(sub_src, kind="stable").astype(np.int32)
+        csc_ids = sub_src[csc_perm].astype(np.int32)
+        ccounts = np.bincount(csc_ids, minlength=L.n_src_total)
+        csc_offsets = np.zeros(L.n_src_total + 1, dtype=np.int64)
+        np.cumsum(ccounts, out=csc_offsets[1:])
+        subs.append(MergedDstLayout(
+            dst_type=f"{L.dst_type}@{k}",
+            rel_keys=list(L.rel_keys),
+            src_types=list(L.src_types),
+            n_rows_per_rel=rows,
+            n_rows_total=int(n_rows_total),
+            src=sub_src.astype(np.int32),
+            dst=sub_dst.astype(np.int32),
+            row_offsets=row_offsets.astype(np.int32),
+            tile2rel=np.repeat(np.arange(R, dtype=np.int32),
+                               rows // tile_rows),
+            num_edges=int(mask.sum()),
+            src_base=np.asarray(L.src_base, np.int32),
+            n_src_total=L.n_src_total,
+            csc_perm=csc_perm,
+            csc_ids=csc_ids,
+            csc_offsets=csc_offsets.astype(np.int32),
+            edge_base=edge_base.astype(np.int32),
+            base_type=L.base_type or L.dst_type,
+            node_base=L.node_base + b,
+        ))
+    return subs
+
+
+def split_oversized_layouts(layouts: Dict[str, MergedDstLayout],
+                            max_edges: int, tile_rows: int
+                            ) -> Dict[str, MergedDstLayout]:
+    """Replace any layout whose stream exceeds max_edges with dst-range
+    sub-layouts (KGWAS_MERGED_MAX_EDGES — the full-KG fit lever)."""
+    out: Dict[str, MergedDstLayout] = {}
+    for dst_t, L in layouts.items():
+        if len(L.src) <= max_edges:
+            out[dst_t] = L
+            continue
+        n_parts = -(-len(L.src) // max_edges)
+        n_parts = min(n_parts, L.n_rows_per_rel // tile_rows)
+        for sub in split_merged_layout(L, n_parts, tile_rows):
+            out[sub.dst_type] = sub
+    return out

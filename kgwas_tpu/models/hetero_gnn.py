@@ -430,7 +430,11 @@ def apply_merged_gat_layer(
             att = jnp.stack(att_rows, axis=0)
             # ONE [N, D] x [D, R] matmul instead of R matvecs — each matvec
             # re-reads the full h[dst_t] table from HBM
-            adst_mat = h[dst_t] @ jnp.stack(v_cols, axis=1)     # [N, R]
+            # sub-layouts (split_merged_layout) read only their dst node
+            # range of the hidden table; whole groups slice [0:N] (no-op)
+            h_dst = h[L.base_type or dst_t][
+                L.node_base:L.node_base + L.n_rows_per_rel]
+            adst_mat = h_dst @ jnp.stack(v_cols, axis=1)        # [N, R]
             a_dst_all = adst_mat.T.reshape(-1)
 
             def _w_src(slot):
@@ -599,8 +603,18 @@ def apply_merged_gat_layer(
                else jnp.concatenate(head_outs, axis=-1))
         bias = (bias_sum / len(L.rel_keys) if cfg.gnn_aggr == "mean"
                 else bias_sum)
-        out_dict[dst_t] = out.astype(out_dtype) + bias
-    return out_dict
+        out = out.astype(out_dtype) + bias
+        if L.base_type is None:
+            out_dict[dst_t] = out
+        else:
+            # dst-range sub-layout: collect segments, concat in node order
+            out_dict.setdefault(L.base_type, []).append((L.node_base, out))
+    return {
+        t: (v if not isinstance(v, list)
+            else jnp.concatenate([o for _, o in sorted(v, key=lambda x:
+                                                       x[0])], axis=0))
+        for t, v in out_dict.items()
+    }
 
 
 def _merged_mp_active(cfg: ModelConfig, meta: dict) -> bool:

@@ -489,3 +489,56 @@ def test_layout_operands_low_residual_matches(monkeypatch):
                     jax.tree_util.tree_leaves(gt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_split_merged_layout_full_model_parity(monkeypatch):
+    """KGWAS_MERGED_MAX_EDGES splits oversized dst groups into dst-node-
+    range sub-layouts (the full-KG memory lever). Forward and every grad
+    leaf must match the unsplit path exactly — softmax is per dst row, so
+    the partition is mathematically exact."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=900, n_gene=300, n_go=120, seed=11)
+    cg_a = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
+    meta_a = cg_a.meta()
+    monkeypatch.setenv("KGWAS_MERGED_MAX_EDGES", "1500")
+    cg_b = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
+    meta_b = cg_b.meta()
+    assert len(meta_b["merged"]) > len(meta_a["merged"]), (
+        "split must engage at this cap")
+    assert any("@" in k for k in meta_b["merged"])
+
+    cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
+                      pallas_mode="merged")
+    params = init_hetero_gnn(jax.random.PRNGKey(3), cfg, meta_a, 20, 32, 16)
+    arrays = cg_a.arrays()
+    arrays_b = cg_b.arrays()
+    n_real = cg_a.num_nodes["SNP"]
+
+    out_a = np.asarray(apply_hetero_gnn(params, cfg, meta_a, arrays))
+    out_b = np.asarray(apply_hetero_gnn(params, cfg, meta_b, arrays_b))
+    np.testing.assert_allclose(out_b[:n_real], out_a[:n_real],
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, meta, arr):
+        pred = apply_hetero_gnn(p, cfg, meta, arr)
+        return jnp.mean(pred[:n_real] ** 2)
+
+    ga = jax.grad(lambda p: loss(p, meta_a, arrays))(params)
+    gb = jax.grad(lambda p: loss(p, meta_b, arrays_b))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=2e-6)
+
+    # rel_fold + split composition (the full-KG config)
+    cfg_f = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                        use_pallas=True, pallas_mode="merged", rel_fold=True)
+    gf = jax.grad(lambda p: jnp.mean(apply_hetero_gnn(
+        p, cfg_f, meta_b, arrays_b)[:n_real] ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=2e-6)
