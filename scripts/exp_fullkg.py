@@ -72,6 +72,7 @@ def main():
     stream_dtype = os.environ.get("FULLKG_STREAM_DTYPE") or None
     remat = os.environ.get("FULLKG_REMAT", "0") == "1"
     steps = int(os.environ.get("FULLKG_STEPS", 8))
+    layers = int(os.environ.get("FULLKG_LAYERS", 2))
     from kgwas_tpu.ops.pallas_segment import BN
 
     node_pad = int(os.environ.get("BENCH_NODE_PAD", max(256, BN)))
@@ -131,7 +132,8 @@ def main():
 
     # ---- run --------------------------------------------------------------
     cfg = ModelConfig(
-        gnn_hidden_dim=hidden, gnn_num_layers=2, use_pallas=not mesh_n,
+        gnn_hidden_dim=hidden, gnn_num_layers=layers,
+        use_pallas=not mesh_n,
         matmul_precision="highest", stream_dtype=stream_dtype, remat=remat,
         # explicit fit lever at full-KG scale: the unfolded backward
         # materializes the [R*N, D] cross-relation cotangent broadcast
