@@ -789,9 +789,10 @@ def build_merged_layouts(cg: CompiledGraph, tile_rows: int = None
             edge_base=edge_base.astype(np.int32),
         )
 
-    max_edges = int(os.environ.get("KGWAS_MERGED_MAX_EDGES", "0"))
-    if max_edges > 0:
-        layouts = split_oversized_layouts(layouts, max_edges, tile_rows)
+    spec = os.environ.get("KGWAS_MERGED_MAX_EDGES", "0")
+    if spec and spec != "0":
+        layouts = split_oversized_layouts(layouts, _parse_max_edges(spec),
+                                          tile_rows)
     return layouts
 
 
@@ -860,14 +861,34 @@ def split_merged_layout(L: MergedDstLayout, n_parts: int,
     return subs
 
 
+def _parse_max_edges(spec: str):
+    """KGWAS_MERGED_MAX_EDGES: either one int (global cap) or
+    'Type:edges,Type2:edges,default:edges' — splitting is CHEAP for raw-
+    path groups (tiny per-sub residuals) but duplicates the chunked
+    groups' per-sub source tables, so asymmetric caps pay at full-KG."""
+    if ":" not in spec:
+        n = int(spec)
+        return lambda t: n
+    table = {}
+    for part in spec.split(","):
+        k, v = part.split(":")
+        table[k.strip()] = int(v)
+    default = table.get("default", 0)
+    return lambda t: table.get(t, default)
+
+
 def split_oversized_layouts(layouts: Dict[str, MergedDstLayout],
-                            max_edges: int, tile_rows: int
+                            cap_fn, tile_rows: int
                             ) -> Dict[str, MergedDstLayout]:
-    """Replace any layout whose stream exceeds max_edges with dst-range
+    """Replace any layout whose stream exceeds its cap with dst-range
     sub-layouts (KGWAS_MERGED_MAX_EDGES — the full-KG fit lever)."""
+    if isinstance(cap_fn, int):
+        n = cap_fn
+        cap_fn = lambda t: n  # noqa: E731 — direct-call convenience
     out: Dict[str, MergedDstLayout] = {}
     for dst_t, L in layouts.items():
-        if len(L.src) <= max_edges:
+        max_edges = cap_fn(dst_t)
+        if max_edges <= 0 or len(L.src) <= max_edges:
             out[dst_t] = L
             continue
         n_parts = -(-len(L.src) // max_edges)

@@ -2128,10 +2128,22 @@ def _needs_split_segsum(e_real, d, dtype):
 # form (no recompute cost).
 LOW_RESIDUAL_MIN_BYTES = 1_000_000_000
 
+# Above this many bytes of [n_rows, D] f32 forward output, the traced ops
+# also drop the out/row_max/row_sum residuals and RERUN the forward kernel
+# inside the backward (deterministic kernels -> identical values). One
+# extra stream pass per such group, ~GBs of residuals saved — the second
+# full-KG fit lever (the SNP dst groups' out residuals alone are ~2 GB
+# f32 at 2M).
+OUT_RECOMPUTE_MIN_BYTES = 400_000_000
+
 
 def _low_residual(stream_rows, d, dtype):
     return (int(stream_rows) * int(d)
             * np.dtype(dtype).itemsize) > LOW_RESIDUAL_MIN_BYTES
+
+
+def _recompute_out(n_rows, d):
+    return int(n_rows) * int(d) * 4 > OUT_RECOMPUTE_MIN_BYTES
 
 
 def layout_operand_arrays(cs, aux, split_group=False):
@@ -2256,8 +2268,11 @@ def _fglgt_fwd(tabs, att, a_dst_all, lay, cs, aux, negative_slope,
     ret = _rel_fold_out(out, rel_fold) if rel_fold else out
     low = _low_residual(cs.chunk_edge_base[-1], tabs[0].shape[1],
                         tabs[0].dtype)
-    return ret, (tabs if low else parts, att8, adst_tiles, row_max, row_sum,
-                 out, lay, att.shape[0], tuple(t.shape[0] for t in tabs))
+    rec = _recompute_out(aux[3], tabs[0].shape[1])
+    return ret, (tabs if low else parts, att8, adst_tiles,
+                 None if rec else row_max, None if rec else row_sum,
+                 None if rec else out, lay, att.shape[0],
+                 tuple(t.shape[0] for t in tabs))
 
 
 def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
@@ -2272,6 +2287,16 @@ def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
         # the gathered stream here (same takes as the forward)
         lens = tuple(len(i) for i in cs.local_ids)
         msg_parts = _take_tab_parts_t(msg_parts, lay, lens)
+    if _recompute_out(aux[3], msg_parts[0].shape[1]):
+        # out-recompute form: rerun the forward kernel for out/row stats
+        # (deterministic -> identical values; saves the f32 residuals)
+        out, row_max, row_sum = _merged_forward_chunked(
+            msg_parts, att8, adst_tiles, lay["dst"], lay["desc_offsets"],
+            lay["desc"], lay["desc_base"], lay["tile2rel"], aux[3],
+            negative_slope, temperature, interpret,
+            split_bases=tuple(int(b) for b in cs.chunk_edge_base),
+            mode=mode, dyn128=DYN128,
+        )
     csc_ids_np, _, n_src_total, n_rows, _ = aux
     split_bases = tuple(int(b) for b in cs.chunk_edge_base)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
@@ -2572,8 +2597,10 @@ def _fglpgt_fwd(xs_all, att, a_dst_all, layt, lay, aux, negative_slope,
     )
     ret = _rel_fold_out(out, rel_fold) if rel_fold else out
     low = _low_residual(layt["src"].shape[0], xs_all.shape[1], xs_all.dtype)
-    return ret, (xs_all if low else msgs, att8, adst_tiles, row_max,
-                 row_sum, out, layt, att.shape[0])
+    rec = _recompute_out(aux[1], xs_all.shape[1])
+    return ret, (xs_all if low else msgs, att8, adst_tiles,
+                 None if rec else row_max, None if rec else row_sum,
+                 None if rec else out, layt, att.shape[0])
 
 
 def _fglpgt_bwd(lay, aux, negative_slope, temperature, interpret, mode,
@@ -2585,6 +2612,14 @@ def _fglpgt_bwd(lay, aux, negative_slope, temperature, interpret, mode,
     if _low_residual(layt["src"].shape[0], msgs.shape[1], msgs.dtype):
         # low-residual form: msgs holds xs_all — recompute the gather
         msgs = jnp.take(msgs, layt["src"], axis=0)
+    if _recompute_out(n_rows, msgs.shape[1]):
+        out, row_max, row_sum = _merged_forward_chunked(
+            msgs, att8, adst_tiles,
+            layt["dst"], layt["desc_offsets"], layt["desc"],
+            layt["desc_base"], jnp.asarray(tile2rel_np), n_rows,
+            negative_slope, temperature, interpret, pre_padded=True,
+            mode=mode, dyn128=DYN128,
+        )
     split_bases = tuple(int(b) for b in lay.cut_bases)
     bufs, dadst_tiles, datt_tiles = _merged_backward_chunked_split(
         msgs, att8, adst_tiles, layt["dst"], layt["desc_offsets"],
@@ -2701,8 +2736,10 @@ def _fglrgt_fwd(xs_all, att, a_dst_all, layr, L, aux, negative_slope,
     )
     ret = _rel_fold_out(out, rel_fold) if rel_fold else out
     low = _low_residual(layr["src"].shape[0], xs_all.shape[1], xs_all.dtype)
-    return ret, (xs_all if low else msgs, att8, adst_tiles, row_max,
-                 row_sum, out, layr, att.shape[0])
+    rec = _recompute_out(aux[1], xs_all.shape[1])
+    return ret, (xs_all if low else msgs, att8, adst_tiles,
+                 None if rec else row_max, None if rec else row_sum,
+                 None if rec else out, layr, att.shape[0])
 
 
 def _fglrgt_bwd(L, aux, negative_slope, temperature, interpret, rel_fold,
@@ -2714,6 +2751,12 @@ def _fglrgt_bwd(L, aux, negative_slope, temperature, interpret, rel_fold,
     if _low_residual(layr["src"].shape[0], msgs.shape[1], msgs.dtype):
         # low-residual form: msgs holds xs_all — recompute the gather
         msgs = jnp.take(msgs, layr["src"], axis=0)
+    if _recompute_out(n_rows, msgs.shape[1]):
+        out, row_max, row_sum = _merged_forward(
+            msgs, att8, adst_tiles, layr["dst"], layr["tile_starts"],
+            layr["tile2rel"], n_rows, negative_slope, temperature,
+            interpret,
+        )
     dmsgs, dadst_tiles, datt_tiles = _merged_backward(
         msgs, att8, adst_tiles, layr["dst"], layr["tile_starts"],
         layr["tile2rel"], row_max, row_sum, out, g, n_rows, negative_slope,

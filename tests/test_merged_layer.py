@@ -482,6 +482,9 @@ def test_layout_operands_low_residual_matches(monkeypatch):
 
     gc = jax.grad(lambda p: loss(p, cfg_c, arrays))(params)
     monkeypatch.setattr(pgl, "LOW_RESIDUAL_MIN_BYTES", 1)
+    # out-recompute tier too: drop out/row-stat residuals, rerun the
+    # forward kernel inside the backward — still exact
+    monkeypatch.setattr(pgl, "OUT_RECOMPUTE_MIN_BYTES", 1)
     merged_ops = build_layout_operands(cfg_t, meta)
     arrays_t = {**arrays, "merged_ops": merged_ops}
     gt = jax.grad(lambda p: loss(p, cfg_t, arrays_t))(params)
