@@ -2284,10 +2284,15 @@ def _fglgt_bwd(cs, aux, negative_slope, temperature, interpret, mode,
     if _low_residual(cs.chunk_edge_base[-1], msg_parts[0].shape[1],
                      msg_parts[0].dtype):
         # low-residual form: msg_parts holds the SOURCE TABLES — recompute
-        # the gathered stream here (same takes as the forward)
+        # the gathered stream here (same takes as the forward). The
+        # optimization barrier stops XLA from CSE-ing the recompute with
+        # the forward's identical takes — which would silently KEEP the
+        # stream buffer alive and undo the residual saving entirely.
+        msg_parts = jax.lax.optimization_barrier(msg_parts)
         lens = tuple(len(i) for i in cs.local_ids)
         msg_parts = _take_tab_parts_t(msg_parts, lay, lens)
     if _recompute_out(aux[3], msg_parts[0].shape[1]):
+        msg_parts = jax.lax.optimization_barrier(msg_parts)
         # out-recompute form: rerun the forward kernel for out/row stats
         # (deterministic -> identical values; saves the f32 residuals)
         out, row_max, row_sum = _merged_forward_chunked(
@@ -2611,8 +2616,11 @@ def _fglpgt_bwd(lay, aux, negative_slope, temperature, interpret, mode,
     n_src_total, n_rows, tile2rel_np = aux
     if _low_residual(layt["src"].shape[0], msgs.shape[1], msgs.dtype):
         # low-residual form: msgs holds xs_all — recompute the gather
-        msgs = jnp.take(msgs, layt["src"], axis=0)
+        # (barrier: see _fglgt_bwd — prevents CSE with the forward)
+        msgs = jnp.take(jax.lax.optimization_barrier(msgs),
+                        layt["src"], axis=0)
     if _recompute_out(n_rows, msgs.shape[1]):
+        msgs = jax.lax.optimization_barrier(msgs)
         out, row_max, row_sum = _merged_forward_chunked(
             msgs, att8, adst_tiles,
             layt["dst"], layt["desc_offsets"], layt["desc"],
@@ -2750,8 +2758,11 @@ def _fglrgt_bwd(L, aux, negative_slope, temperature, interpret, rel_fold,
     n_src_total, n_rows = aux
     if _low_residual(layr["src"].shape[0], msgs.shape[1], msgs.dtype):
         # low-residual form: msgs holds xs_all — recompute the gather
-        msgs = jnp.take(msgs, layr["src"], axis=0)
+        # (barrier: see _fglgt_bwd — prevents CSE with the forward)
+        msgs = jnp.take(jax.lax.optimization_barrier(msgs),
+                        layr["src"], axis=0)
     if _recompute_out(n_rows, msgs.shape[1]):
+        msgs = jax.lax.optimization_barrier(msgs)
         out, row_max, row_sum = _merged_forward(
             msgs, att8, adst_tiles, layr["dst"], layr["tile_starts"],
             layr["tile2rel"], n_rows, negative_slope, temperature,
