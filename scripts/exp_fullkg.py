@@ -149,6 +149,16 @@ def main():
     if cfg.layout_operands:
         from kgwas_tpu.models.hetero_gnn import build_layout_operands
 
+        # the merged fast path never touches arrays["edges"] (per-relation
+        # src/dst for the XLA fallback) — at 2M that is 679 MiB of dead
+        # device-resident weight; slim them to placeholders (the python
+        # trace only passes the dict through, it never indexes it on the
+        # merged path)
+        if os.environ.get("FULLKG_SLIM_EDGES", "1") == "1":
+            arrays_np["edges"] = {
+                k: {kk: np.zeros(1, np.int32) for kk in v}
+                for k, v in arrays_np["edges"].items()
+            }
         t0 = time.time()
         arrays_np["merged_ops"] = build_layout_operands(cfg, cg.meta())
         lo_bytes = 0
