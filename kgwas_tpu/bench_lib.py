@@ -94,12 +94,9 @@ def main():
         use_pallas=use_pallas,
         gather_chunk_rows=gather_chunk,
         bwd_window_edges=bwd_window,
-        # rel-fold A/B knob. Default OFF, matching the package default:
-        # the fold is opt-in until the on-chip 4-variant gate completes
-        # (config.py rel_fold), and the unfolded program is the one the
-        # relay has cached — a fresh compile at driver-bench time risks
-        # the 15-25 min relay compile stalls documented in RESULTS.md.
-        rel_fold=os.environ.get("BENCH_REL_FOLD", "0") == "1",
+        # rel-fold A/B knob; default ON = the package default (the
+        # BN_PARITY_FOLD hardware gate passed on v5e, round 5)
+        rel_fold=os.environ.get("BENCH_REL_FOLD", "1") == "1",
     )
     meta = cg.meta()
     params = init_hetero_gnn(jax.random.PRNGKey(0), cfg, meta, 20, 128, 128)

@@ -100,7 +100,7 @@ class ModelConfig:
                                      # DMA streams). None = auto (on when
                                      # the chunked gather engages); False
                                      # forces the read-merge kernel
-    rel_fold: bool = False           # fold the cross-relation sum/mean into
+    rel_fold: bool = True            # fold the cross-relation sum/mean into
                                      # the fused layer ops' custom VJP: the
                                      # backward kernels read the [N, D]
                                      # cotangent with an `i % tiles` index
@@ -108,14 +108,14 @@ class ModelConfig:
                                      # [R*N, D] broadcast for the custom
                                      # call (identical math; ~1 ms/step at
                                      # 200k and ~2 GiB HBM at 2M SNPs).
-                                     # OPT-IN until the full on-chip
-                                     # 4-variant parity gate
-                                     # (scripts/exp_bn_parity_tpu.py) runs
-                                     # clean — the documented procedure for
-                                     # kernel-path default flips. Current
-                                     # hardware evidence: 8 composed steps
-                                     # at 50k on v5e matched the XLA oracle
-                                     # losses to ~1e-5 with fold on
+                                     # DEFAULT ON since round 5: the
+                                     # documented hardware gate
+                                     # (scripts/exp_bn_parity_tpu.py,
+                                     # BN_PARITY_FOLD=1) passed on v5e —
+                                     # fold variants at BN=256 AND BN=512
+                                     # matched the XLA oracle over 8
+                                     # composed steps (loss rel-err
+                                     # <=8.4e-5, final params <=5.3e-4)
                                      # (benchmarks/RESULTS.md round 4); the
                                      # full gate was cut short by relay
                                      # claim stalls, not a failure.
