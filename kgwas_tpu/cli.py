@@ -189,8 +189,17 @@ def cmd_warm_cache(args):
     """Populate the persistent XLA compilation cache for the standard
     shapes, so later cold starts (new processes, cron jobs, elastic
     restarts) deserialize instead of recompiling. TPU compiles of the
-    bench shape run minutes; a warmed cache cuts that to seconds."""
+    bench shape run minutes; a warmed cache cuts that to seconds.
+    Requires KGWAS_TPU_CACHE_DIR (the cache is opt-in since round 5 —
+    cross-machine XLA:CPU AOT loads can segfault; utils.py)."""
+    import os as _os
     import time
+
+    if not _os.environ.get("KGWAS_TPU_CACHE_DIR"):
+        raise SystemExit(
+            "warm-cache needs KGWAS_TPU_CACHE_DIR set (the persistent "
+            "compilation cache is opt-in; see "
+            "utils.enable_persistent_compilation_cache)")
 
     import jax
     import jax.numpy as jnp

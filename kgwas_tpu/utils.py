@@ -23,17 +23,18 @@ def enable_persistent_compilation_cache(path=None):
     """Point XLA's persistent compilation cache at a local directory so
     repeat runs skip the 1-4 min first-compile of the training step.
 
-    Default dir: $KGWAS_TPU_CACHE_DIR, else ~/.cache/kgwas_tpu/xla.
-    Set KGWAS_TPU_CACHE_DIR="" to disable. Safe to call repeatedly; a
-    no-op if jax was built without the cache config knobs."""
+    OPT-IN since round 5 (KGWAS_TPU_CACHE_DIR must be set): XLA:CPU AOT
+    artifacts cached under one machine-feature set segfault when LOADED
+    on a host whose features differ (cpu_aot_loader warns about exactly
+    this, and two full-suite runs crashed inside
+    backend_compile_and_load on cache hits). On the relayed TPU the
+    cache was measured ineffective anyway (compiles are server-side,
+    benchmarks/RESULTS.md round 4), so the default is now off."""
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
         return
     if path is None:
-        path = os.environ.get(
-            "KGWAS_TPU_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "kgwas_tpu", "xla"),
-        )
+        path = os.environ.get("KGWAS_TPU_CACHE_DIR", "")
     if not path:
         return
     try:
