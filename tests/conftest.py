@@ -24,3 +24,19 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process XLA:CPU compiler state: with today's larger
+    BN=512 interpret-mode programs, full-suite runs (190 tests, hundreds
+    of compiled executables) started segfaulting INSIDE
+    backend_compile_and_load near the end of the run — standalone and
+    half-suite runs of the same tests pass. Releasing executables between
+    modules keeps the live-program count bounded; measured overhead is
+    small (cross-module cache reuse was minimal anyway)."""
+    yield
+    jax.clear_caches()
