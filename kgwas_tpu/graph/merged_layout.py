@@ -814,6 +814,11 @@ def split_merged_layout(L: MergedDstLayout, n_parts: int,
     bases = list(range(0, N, n_sub))
     rel_of_edge = L.dst.astype(np.int64) // N
     node = L.dst.astype(np.int64) - rel_of_edge * N
+    # GCN/SGC symmetric normalization needs GLOBAL source degrees — a
+    # sub-layout's own stream only sees its dst-range's edges (models.
+    # hetero_gnn._merged_mp_norms reads this attribute when present)
+    parent_src_deg = np.bincount(
+        L.src, minlength=L.n_src_total).astype(np.float32)
     subs = []
     for k, b in enumerate(bases):
         hi = min(b + n_sub, N)
@@ -858,6 +863,7 @@ def split_merged_layout(L: MergedDstLayout, n_parts: int,
             base_type=L.base_type or L.dst_type,
             node_base=L.node_base + b,
         ))
+        subs[-1].parent_src_deg = parent_src_deg
     return subs
 
 

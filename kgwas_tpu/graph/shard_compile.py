@@ -112,10 +112,14 @@ class CompiledGraph:
             return None
         if next(iter(self.relations.values())).row_offsets is None:
             return None
-        if any(n % 256 != 0 for n in self.padded_nodes.values()):
+        from ..ops.pallas_segment import BN
+
+        if any(n % BN != 0 for n in self.padded_nodes.values()):
+            # not kernel-tile aligned (e.g. a 256-padded graph under the
+            # BN=512 default) -> graceful per-relation fallback, NOT an
+            # assert inside build_merged_layouts
             return None
         if self._merged_cache is None:
-            from ..ops.pallas_segment import BN
             from .merged_layout import build_merged_layouts
 
             self._merged_cache = build_merged_layouts(self, tile_rows=BN)

@@ -182,6 +182,15 @@ class KGWAS:
             stripped = strip_streamed_features(
                 cg.arrays(), streamed, cg.padded_nodes
             )
+            if (mesh is None
+                    and getattr(self.model_cfg, "layout_operands", False)):
+                # streamed features + layout operands compose (both are
+                # at-scale memory levers); without this the streamed
+                # branch would silently fall back to HLO-literal layouts
+                from .models.hetero_gnn import build_layout_operands
+
+                stripped["merged_ops"] = build_layout_operands(
+                    self.model_cfg, cg.meta())
             if mesh is not None:
                 # streamed x mesh composition: the stripped graph shards
                 # like any other, h1 rows shard in engine/streamed.py

@@ -291,8 +291,23 @@ def build_layout_operands(cfg: ModelConfig, meta: dict) -> dict:
             out[dst_t] = {"chunked": layout_operand_arrays(
                 cs, aux, split_group=split)}
             continue
+        if cs is not None:
+            # chunked-but-not-fully-owned (pad_fragments=False): apply
+            # takes the literal gather_rows_chunked path — emit nothing
+            # (a raw bundle here would be dead device-resident weight)
+            continue
+        # fragment-windowed backward (cfg.bwd_window_edges): mirror
+        # apply's wl decision — when wl engages, neither plain nor raw
+        # traced paths are used
         win_edges = cfg.bwd_window_edges or 0
-        if (cs is None and win_edges == 0 and pad_frags and chunk_rows > 0
+        if (win_edges > 0 and chunk_rows > 0
+                and len(L.src) > min(EMITTER_FAST_ROWS, 2 * win_edges)):
+            from ..graph.merged_layout import get_csc_windows
+
+            wl = get_csc_windows(L, win_edges)
+            if wl.read_amp <= 1.5:
+                continue
+        if (pad_frags and chunk_rows > 0
                 and len(L.src) > EMITTER_FAST_ROWS):
             pl_lay = get_owned_plain_stream(L)
             if not (pl_lay.read_amp > 1.5 or pl_lay.sum_read_amp > 1.5):
@@ -300,10 +315,9 @@ def build_layout_operands(cfg: ModelConfig, meta: dict) -> dict:
                 out[dst_t] = {
                     "plain": plain_layout_operand_arrays(pl_lay, aux)}
                 continue
-        # raw fallback: any remaining group big enough for its layout
-        # literals to matter gets the traced raw bundle (path-choice
-        # neutral — same kernels as the literal raw path)
-        if win_edges == 0 and len(L.src) > EMITTER_FAST_ROWS:
+        # raw fallback: any remaining big group gets the traced raw
+        # bundle (softmax-only — the unnorm modes keep the literal path)
+        if len(L.src) > EMITTER_FAST_ROWS and not cfg.sigmoid_gat:
             out[dst_t] = {"raw": raw_layout_operand_arrays(L)}
     return out
 
@@ -643,8 +657,12 @@ def _merged_mp_norms(L, backbone: str):
                                ).astype(_np.float32)
         inv_deg = _np.where(deg_dst > 0, 1.0 / _np.maximum(deg_dst, 1.0),
                             0.0)
-        deg_src = _np.bincount(L.src, minlength=L.n_src_total
-                               ).astype(_np.float32)
+        # sub-layouts carry the PARENT's src degrees (split_merged_layout)
+        # — their own stream covers only one dst range
+        deg_src = getattr(L, "parent_src_deg", None)
+        if deg_src is None:
+            deg_src = _np.bincount(L.src, minlength=L.n_src_total
+                                   ).astype(_np.float32)
         dinv_dst = _np.where(deg_dst > 0,
                              1.0 / _np.sqrt(_np.maximum(deg_dst, 1.0)), 0.0)
         dinv_src = _np.where(deg_src > 0,
@@ -705,18 +723,32 @@ def apply_merged_mp_layer(
         if bb == "SAGE":
             summed = summed * jnp.asarray(norm)[:, None]     # mean
         rel = summed.reshape(R, N, -1)
+        # dst-range sub-layouts (split_merged_layout): slice the dst
+        # hidden table to the sub range and concat segments at the end —
+        # same handling as apply_merged_gat_layer
+        base_t = L.base_type or dst_t
+        h_dst = h[base_t][L.node_base:L.node_base + N]
         outs = []
         for r, rk in enumerate(L.rel_keys):
             rp = layer_params[rk]
             if bb == "SAGE":
                 outs.append(rel[r] @ rp["lin_l"]["w"] + rp["lin_l"]["b"]
-                            + h[dst_t] @ rp["lin_r"]["w"])
+                            + h_dst @ rp["lin_r"]["w"])
             elif bb == "GCN":
                 outs.append(rel[r] + rp["bias"])
             else:                                            # SGC
                 outs.append(rel[r] @ rp["lin"]["w"] + rp["lin"]["b"])
-        out_dict[dst_t] = _aggregate(outs, cfg.gnn_aggr)
-    return out_dict
+        out = _aggregate(outs, cfg.gnn_aggr)
+        if L.base_type is None:
+            out_dict[dst_t] = out
+        else:
+            out_dict.setdefault(base_t, []).append((L.node_base, out))
+    return {
+        t: (v if not isinstance(v, list)
+            else jnp.concatenate([o for _, o in sorted(v, key=lambda x:
+                                                       x[0])], axis=0))
+        for t, v in out_dict.items()
+    }
 
 
 def apply_hetero_layer(

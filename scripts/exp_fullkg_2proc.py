@@ -43,19 +43,25 @@ def main():
     # leave unset to let the worker derive it from KGWAS_PALLAS_BN
     port = free_port()
     t0 = time.time()
+    # worker output goes to FILES: two lockstep distributed workers on
+    # sequential communicate() PIPEs can deadlock (an undrained pipe
+    # blocks worker 1's print, worker 0 then blocks in the collective)
+    logs = [open(f"/tmp/fullkg_2proc_w{pid}.log", "w") for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), "2", str(port), out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
+            env=env, stdout=logs[pid], stderr=subprocess.STDOUT)
         for pid in range(2)
     ]
-    tails = []
     for p in procs:
-        o, _ = p.communicate()
-        tails.append(o[-4000:])
-    for i, (p, t) in enumerate(zip(procs, tails)):
-        print(f"--- worker {i} (rc={p.returncode}) tail:\n{t}\n", flush=True)
+        p.wait()
+    for f in logs:
+        f.close()
+    for i, p in enumerate(procs):
+        with open(f"/tmp/fullkg_2proc_w{i}.log") as f:
+            tail = f.read()[-4000:]
+        print(f"--- worker {i} (rc={p.returncode}) tail:\n{tail}\n",
+              flush=True)
     if any(p.returncode != 0 for p in procs):
         raise SystemExit("worker failed")
     with open(out) as f:

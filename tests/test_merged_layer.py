@@ -513,8 +513,11 @@ def test_split_merged_layout_full_model_parity(monkeypatch):
         "split must engage at this cap")
     assert any("@" in k for k in meta_b["merged"])
 
+    # rel_fold pinned OFF here so the baseline arm really exercises the
+    # unfolded split path (the package default is fold=True since round 5
+    # — leaving the default would make the fold-arm comparison vacuous)
     cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2, use_pallas=True,
-                      pallas_mode="merged")
+                      pallas_mode="merged", rel_fold=False)
     params = init_hetero_gnn(jax.random.PRNGKey(3), cfg, meta_a, 20, 32, 16)
     arrays = cg_a.arrays()
     arrays_b = cg_b.arrays()
@@ -545,3 +548,34 @@ def test_split_merged_layout_full_model_parity(monkeypatch):
                     jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=2e-6)
+
+
+def test_split_merged_layout_mp_backbone_parity(monkeypatch):
+    """Split sub-layouts must also work through the SAGE/GCN/SGC merged
+    message-passing path (round-5 review finding: it indexed h by the
+    sub-group name and returned partial row blocks)."""
+    from kgwas_tpu.config import ModelConfig
+    from kgwas_tpu.models import init_hetero_gnn
+    from kgwas_tpu.models.hetero_gnn import apply_hetero_gnn
+
+    g = make_synthetic_kg(n_snp=900, n_gene=300, n_go=120, seed=11)
+    cg_a = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
+    meta_a = cg_a.meta()
+    monkeypatch.setenv("KGWAS_MERGED_MAX_EDGES", "1500")
+    cg_b = compile_graph(g, edge_pad_multiple=64, node_pad_multiple=_NODE_PAD)
+    meta_b = cg_b.meta()
+    assert any("@" in k for k in meta_b["merged"])
+
+    for bb in ("SAGE", "GCN", "SGC"):
+        cfg = ModelConfig(gnn_hidden_dim=128, gnn_num_layers=2,
+                          gnn_backbone=bb, use_pallas=True,
+                          pallas_mode="merged")
+        params = init_hetero_gnn(jax.random.PRNGKey(5), cfg, meta_a,
+                                 20, 32, 16)
+        out_a = np.asarray(apply_hetero_gnn(params, cfg, meta_a,
+                                            cg_a.arrays()))
+        out_b = np.asarray(apply_hetero_gnn(params, cfg, meta_b,
+                                            cg_b.arrays()))
+        n_real = cg_a.num_nodes["SNP"]
+        np.testing.assert_allclose(out_b[:n_real], out_a[:n_real],
+                                   rtol=1e-5, atol=1e-5, err_msg=bb)
