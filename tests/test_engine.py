@@ -295,3 +295,30 @@ def test_scan_dispatch_matches_per_step(tmp_path):
     p_a = np.asarray(runs["per_step"].predict_all())
     p_b = np.asarray(runs["scan"].predict_all())
     np.testing.assert_allclose(p_b, p_a, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_layout_operands_matches_default(tmp_path):
+    """KGWAS.train with cfg.layout_operands=True (operand-form layout
+    bundles merged into the device arrays by _device_state) reproduces
+    the default path's losses exactly at small scale."""
+    import jax
+
+    from kgwas_tpu import KGWAS, KGWAS_Data
+
+    def run(lo, exp):
+        data = KGWAS_Data.from_synthetic(
+            n_snp=600, n_gene=200, n_go=60, seed=7,
+            data_path=str(tmp_path / exp))
+        data.load_synthetic_gwas(seed=7)
+        data.process_gwas_file()
+        data.prepare_split()
+        run = KGWAS(data, exp_name=exp, seed=7)
+        run.initialize_model(gnn_num_layers=2, gnn_hidden_dim=32,
+                             no_relu=True, use_pallas=True,
+                             gather_chunk_rows=256, layout_operands=lo)
+        run.train(batch_size=64, epoch=2, lr=1e-3, save_best_model=False)
+        return [h["loss"] for h in run.train_history]
+
+    base = run(False, "lo_off")
+    lo = run(True, "lo_on")
+    assert base == lo, (base, lo)
